@@ -1,0 +1,184 @@
+"""Blocking: MinHash/LSH over turn-text shingles + exact tool-sequence
+signatures -> deduped candidate pairs.
+
+The reference computes ALL pairs (the nAA x nBB loop in
+/root/reference/src/cuTWED_core.h:583-620) because batches are small;
+at 10^12-turn scale all-pairs is impossible, so blocking bounds the
+candidate set. The reference's triangular dedup (TRIL enum,
+/root/reference/src/cuTWED.h:24-26) becomes the
+``conv_id_a < conv_id_b`` predicate pushed into the self-join — no
+triangle is ever materialized.
+
+Everything here is Catalyst built-ins (xxhash64, higher-order functions,
+joins, aggregates): map-side partial aggregation computes the k minhash
+mins per conversation, and oversized LSH buckets (non-discriminative
+"stopword" blocks — the skew hazard, SURVEY.md §7 hard part 4) are
+dropped with the drop surfaced as a metric, never silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BAND_SIZE = 2
+DEFAULT_SHINGLE_K = 3
+DEFAULT_MAX_BLOCK = 64
+
+
+def conversation_shingles(transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """-> (conv_id, shingle) distinct word-k-gram shingles per conversation.
+
+    Shingles are formed within each turn's text (word k-grams); short
+    turns contribute their whole text as one shingle so no turn is
+    invisible to blocking.
+    """
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (
+        transcripts.select("conv_id", F.explode(shingles).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .dropDuplicates(["conv_id", "shingle"])
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """-> (conv_id, sig: array<bigint>) — one pass, k min-aggregates.
+
+    Seed variation via xxhash64(shingle, seed_i) (extra hashed column =
+    an independent hash family member). Partial/final agg is automatic.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingles.groupBy("conv_id").agg(*mins)
+    return agg.select(
+        "conv_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_block_keys(
+    signatures: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """-> (conv_id, block_key: bigint): one row per LSH band.
+
+    band key = xxhash64(band_id, sig values in the band); band_id is
+    mixed in so identical mins in different bands cannot collide.
+    """
+    n_bands = num_hashes // band_size
+    bands = [
+        F.xxhash64(
+            F.lit(b), *[F.col("sig")[b * band_size + r] for r in range(band_size)]
+        ).alias("block_key")
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        "conv_id", F.explode(F.array(*bands)).alias("block_key")
+    )
+
+
+def turn_text_block_keys(transcripts: DataFrame) -> DataFrame:
+    """Exact per-turn text fingerprint blocks (third blocking axis).
+
+    Near-duplicate conversations typically share >= 1 verbatim turn;
+    unrelated conversations essentially never share a full turn text.
+    One block key per distinct (conv_id, turn text). Boilerplate turns
+    (greetings, empty tool outputs) create huge blocks — those are
+    exactly what ``prune_oversized_blocks`` drops.
+    """
+    return (
+        transcripts.where(F.length("text") > 0)
+        .select(
+            "conv_id",
+            F.xxhash64(F.lit("turntext"), F.col("text")).alias("block_key"),
+        )
+        .dropDuplicates(["conv_id", "block_key"])
+    )
+
+
+def tool_sig_block_keys(series: DataFrame) -> DataFrame:
+    """Exact tool-sequence signature blocks (second blocking axis).
+    Only conversations that used >= 1 tool participate."""
+    return series.where(F.col("tool_sig") != "").select(
+        "conv_id", F.xxhash64(F.lit("toolsig"), F.col("tool_sig")).alias("block_key")
+    )
+
+
+def prune_oversized_blocks(
+    blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+) -> tuple[DataFrame, DataFrame]:
+    """Split blocks into (kept, block_stats).
+
+    A block of size s generates s*(s-1)/2 pairs; blocks above
+    ``max_block`` are almost always non-discriminative boilerplate and
+    are the skew bombs at scale. They are dropped here and REPORTED in
+    block_stats (n_blocks, n_dropped_blocks, max size, pairs estimate).
+    """
+    sized = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("block_size") > max_block, 1).otherwise(0)).alias(
+            "n_dropped_blocks"
+        ),
+        F.max("block_size").alias("max_block_size"),
+        F.sum(
+            F.when(
+                F.col("block_size") <= max_block,
+                F.col("block_size") * (F.col("block_size") - 1) / 2,
+            ).otherwise(0)
+        ).cast("long").alias("est_candidate_pairs"),
+    )
+    keep_keys = sized.where(F.col("block_size") <= max_block).select("block_key")
+    # keep_keys is small relative to blocks; broadcast when it fits.
+    kept = blocks.join(F.broadcast(keep_keys), "block_key")
+    return kept, stats
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """Self-join block table on block_key -> deduped ordered pairs.
+
+    The ``conv_id_a < conv_id_b`` predicate is the reference's TRIL
+    optimization (/root/reference/src/cuTWED_core.h:598-600) expressed
+    declaratively; Catalyst pushes it into the join. Multi-band hits
+    are collapsed by dropDuplicates (the reference's
+    dropDuplicates-after-union analog, SURVEY.md §2.2 "Distinct").
+    """
+    left = blocks.select(F.col("block_key"), F.col("conv_id").alias("conv_id_a"))
+    right = blocks.select(F.col("block_key"), F.col("conv_id").alias("conv_id_b"))
+    return (
+        left.join(right, "block_key")
+        .where(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+
+
+def build_candidate_pairs(
+    transcripts: DataFrame,
+    series: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> tuple[DataFrame, DataFrame]:
+    """Full blocking stage -> (pairs, block_stats)."""
+    sh = conversation_shingles(transcripts, shingle_k)
+    sig = minhash_signatures(sh, num_hashes)
+    lsh = lsh_block_keys(sig, band_size, num_hashes)
+    blocks = lsh.unionByName(tool_sig_block_keys(series)).unionByName(
+        turn_text_block_keys(transcripts)
+    )
+    kept, stats = prune_oversized_blocks(blocks, max_block)
+    return candidate_pairs(kept), stats
