@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
@@ -156,7 +157,6 @@ def twed_scalar_udf(dim: int, nu: float, lamb: float, degree: int = 2):
     Same kernel, but fed from pandas list columns; packing is per-row
     (slow path by design; use score_candidates for throughput).
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
