@@ -1,0 +1,209 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, n-gram Jaccard, MinHash/LSH, SimHash.
+
+All operators are pure Catalyst built-ins over a ``documents``-shaped
+table (doc_id, text, ...). Hashing uses md5 (identical across Spark and
+DuckDB, which makes every operator oracle-checkable end-to-end); the ER
+pipeline's blocking uses xxhash64 for speed — same algorithms, different
+hash family.
+
+Scale notes (100 TB corpus):
+* shingle self-joins are the skew hazard: ``max_df`` drops
+  ultra-common shingles BEFORE the join (a deterministic document-
+  frequency cut, mirrored in the oracle SQL);
+* exact dedup is one hash-groupBy (map-side partial agg);
+* MinHash signatures are k min-aggregates in a single groupBy pass;
+* all pair outputs are TRIL-deduped (doc_id_a < doc_id_b) at
+  generation — the reference's triangle optimization
+  (/root/reference/src/cuTWED.h:24-26) as a join predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text"):
+    """Whitespace-collapsed lower-case normalization (shared with the
+    oracle SQL verbatim)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5 of normalized text -> groups with >= 2 docs.
+    Output: (dup_hash, n_docs, min_doc_id, max_doc_id)."""
+    return (
+        docs.select(F.md5(normalized_text()).alias("dup_hash"), "doc_id")
+        .groupBy("dup_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word k-gram shingles of normalized
+    text; docs shorter than k words contribute their whole text."""
+    words = F.split(normalized_text(), " ")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return docs.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+def _rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than max_df docs (deterministic
+    document-frequency cut — the anti-skew guard)."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(
+        F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
+        "shingle",
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.6, max_df: int = 100
+) -> DataFrame:
+    """Pairwise word-k-gram Jaccard similarity >= threshold.
+    Output: (doc_id_a, doc_id_b, jaccard rounded to 4dp)."""
+    sh = doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = _rare_shingles(sh, max_df)
+    inter = (
+        rare.alias("l")
+        .join(rare.alias("r"), "shingle")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> k md5-minhashes ->
+    banded keys -> bucket self-join. Output: (doc_id_a, doc_id_b)."""
+    sh = _rare_shingles(doc_shingles(docs, k), max_df)
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = sig.select("doc_id", F.explode(bands).alias("band_key"))
+    return (
+        keys.alias("l")
+        .join(keys.alias("r"), "band_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+
+def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over words: bit j of a word = low bit of the
+    j-th hex nibble of md5(word); simhash bit j = majority vote.
+    Output: (doc_id, simhash bigint). Portable to the SQL oracle
+    (md5 + substring + conv are identical in DuckDB)."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
+    ).where(F.col("word") != "")
+    h = F.md5(F.col("word"))
+    # vote_j = +1 if nibble_j odd else -1
+    votes = [
+        (
+            F.when(
+                F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_word = words.select("doc_id", *votes)
+    sums = per_word.groupBy("doc_id").agg(
+        *[F.sum(F.col(f"v{j}")).alias(f"s{j}") for j in range(bits)]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Self-join is banded on half-width prefixes (a hamming-<=2 pair must
+    agree on at least one half), so it is not a Cartesian join.
+    Output: (doc_id_a, doc_id_b, hamming)."""
+    sim = simhash_docs(docs, bits)
+    half = bits // 2
+    lo = (F.col("simhash") % F.lit(2**half)).alias("lo")
+    hi = (F.col("simhash") / F.lit(2**half)).cast("bigint").alias("hi")
+    keyed = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("lo"), lo.cast("string")),
+                F.concat_ws(":", F.lit("hi"), hi.cast("string")),
+            )
+        ).alias("band"),
+    )
+    pairs = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), "band")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force all-pairs cosine top-k: the exactness
+  baseline. O(n^2) pairs; fine for calibration subsets, NOT the scale
+  path.
+* ``lsh_cosine_topk`` — random-hyperplane LSH bucketing: the scale
+  path. Hyperplane components are derived from md5 (deterministic and
+  reproducible in the DuckDB oracle — no RNG state to ship). Buckets
+  shrink the candidate set from O(n^2) to O(sum bucket^2); exact
+  cosine re-rank inside buckets.
+* ``embedding_near_dup_pairs`` — cosine >= threshold near-duplicate
+  edges (the embedding-space dedup operator).
+
+All dot products run JVM-side via higher-order functions
+(zip_with + aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """float32 storage -> float64 math (dtype discipline mirrors the
+    reference's float64 default, /root/reference/cuTWED/cuTWED.py:68-81)."""
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_pairs(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine (TRIL-deduped). Output: (vec_id_a, vec_id_b, cos)."""
+    e = with_double_embedding(emb).select(
+        F.col(id_col), F.col("embedding"), _norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id") -> DataFrame:
+    """Brute-force top-k neighbors per vector (symmetric view of the
+    TRIL pairs). Deterministic tiebreak on (cos desc, neighbor id).
+    Output: (vec_id, neighbor_id, cos, rank)."""
+    from pyspark.sql.window import Window
+
+    p = cosine_pairs(emb, id_col)
+    sym = p.select(
+        F.col("vec_id_a").alias("vec_id"),
+        F.col("vec_id_b").alias("neighbor_id"),
+        "cos",
+    ).unionAll(
+        p.select(
+            F.col("vec_id_b").alias("vec_id"),
+            F.col("vec_id_a").alias("neighbor_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component r[d] in
+    [-0.5, 0.5): first 8 hex chars of md5('rp{plane}_{d}') as a
+    uniform fraction. Reproducible in any engine with md5."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        hx = hashlib.md5(f"rp{plane}_{d}".encode()).hexdigest()[:8]
+        out.append(int(hx, 16) / 16**8 - 0.5)
+    return out
+
+
+def lsh_bucket_ids(
+    emb: DataFrame, dim: int, n_planes: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector.
+    Output: (vec_id, bucket int)."""
+    e = with_double_embedding(emb)
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = F.when(_dot(F.col("embedding"), plane) > 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return e.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: bucket by LSH, exact cosine re-rank within buckets.
+    Output: (vec_id, neighbor_id, cos, rank). Recall < 1 by design
+    (the scale path); compare against cosine_topk for quality."""
+    from pyspark.sql.window import Window
+
+    e = with_double_embedding(emb).select(
+        F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    bucketed = e.join(lsh_bucket_ids(emb, dim, n_planes, id_col), id_col)
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate edges (dedup operator)."""
+    return cosine_pairs(emb, id_col).where(F.col("cos") >= threshold)

@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data curation: quality
+scoring, language ID, token counting, document fingerprinting.
+
+All pure Catalyst built-ins over a ``documents``-shaped table; every
+formula is arithmetic/string-function-portable so the DuckDB oracle
+can reproduce values exactly (floats rounded at the output edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cutwed_spark.operators.dedup import normalized_text
+
+# Compact English stopword list shared verbatim with the oracle SQL.
+STOPWORDS = (
+    "the a an and or of to in for on with from by at as is are was were "
+    "be been it this that these those i you he she we they not no".split()
+)
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc surface statistics + a composite quality score.
+    Output: (doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+    punct_ratio, digit_ratio, quality_score)."""
+    norm = normalized_text()
+    words = F.split(norm, " ")
+    n_chars = F.length(norm).cast("double")
+    n_words = F.size(words).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+        "double"
+    )
+    n_punct = F.length(F.regexp_replace(norm, r"[^.!?,;:]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(norm, r"[^0-9]", "")).cast("double")
+    avg_wl = F.when(n_words > 0, F.round(n_chars / n_words, 4)).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, F.round(n_digit / n_chars, 4)).otherwise(0.0)
+    # quality: long-enough, word-length sane, not digit/punct soup
+    score = F.round(
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.when((avg_wl >= 3) & (avg_wl <= 10), 0.3).otherwise(0.0)
+        + F.when(digit_ratio <= 0.3, 0.2).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.1).otherwise(0.0),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, en_threshold: float = 0.08) -> DataFrame:
+    """Stopword-ratio language heuristic: docs whose stopword ratio
+    clears the threshold are tagged 'en', else 'other'.
+    Output: (doc_id, lang_pred)."""
+    q = quality_stats(docs)
+    return q.select(
+        "doc_id",
+        F.when(F.col("stopword_ratio") >= en_threshold, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish estimate (~chars/4 per subword plus
+    word-boundary overhead — the standard back-of-envelope used for LLM
+    corpus sizing). Output: (doc_id, n_words, est_bpe_tokens)."""
+    norm = normalized_text()
+    n_words = F.size(F.split(norm, " ")).cast("bigint")
+    n_chars = F.length(norm).cast("double")
+    est = F.ceil(n_chars / F.lit(4.0)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.greatest(est, n_words).alias("est_bpe_tokens"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of normalized text, plus a coarse
+    64-char prefix fingerprint for prefix-dup detection.
+    Output: (doc_id, fingerprint, prefix_fingerprint)."""
+    norm = normalized_text()
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
+    )
