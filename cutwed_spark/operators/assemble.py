@@ -55,7 +55,11 @@ def assemble_series(
         "conv_id",
         F.size(turns).cast("int").alias("n_turns"),
         (F.col("n_turns_raw") - F.size(turns)).cast("int").alias("n_truncated"),
-        F.transform(turns, lambda s: s["feat"]).alias("values"),
+        # FLAT (n_turns * dim) value buffer — the reference's dense
+        # C-ordered layout (README.rst:40-42). One list level fewer
+        # halves Arrow offset overhead on the scoring hot path; reshape
+        # is free NumPy inside the UDF.
+        F.flatten(F.transform(turns, lambda s: s["feat"])).alias("values_flat"),
         F.transform(turns, lambda s: s["t"] - t0).alias("times"),
         F.transform(turns, lambda s: s["text_hash"]).alias("text_hashes"),
         F.concat_ws(

@@ -27,12 +27,16 @@ DEFAULT_SHINGLE_K = 3
 DEFAULT_MAX_BLOCK = 64
 
 
-def conversation_shingles(transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:
-    """-> (conv_id, shingle) distinct word-k-gram shingles per conversation.
+def conversation_shingles(
+    transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K, dedup: bool = True
+) -> DataFrame:
+    """-> (conv_id, shingle) word-k-gram shingles per conversation.
 
     Shingles are formed within each turn's text (word k-grams); short
     turns contribute their whole text as one shingle so no turn is
-    invisible to blocking.
+    invisible to blocking. ``dedup=False`` skips the distinct (a full
+    shuffle of the exploded shingles) — MIN aggregation for MinHash is
+    duplicate-insensitive, so the minhash path never needs it.
     """
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
     shingles = F.when(
@@ -42,11 +46,10 @@ def conversation_shingles(transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K) ->
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return (
-        transcripts.select("conv_id", F.explode(shingles).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .dropDuplicates(["conv_id", "shingle"])
+    out = transcripts.select("conv_id", F.explode(shingles).alias("shingle")).where(
+        F.col("shingle") != ""
     )
+    return out.dropDuplicates(["conv_id", "shingle"]) if dedup else out
 
 
 def minhash_signatures(
@@ -126,7 +129,14 @@ def prune_oversized_blocks(
     are the skew bombs at scale. They are dropped here and REPORTED in
     block_stats (n_blocks, n_dropped_blocks, max size, pairs estimate).
     """
-    sized = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
+    # One pass: sized is tiny (one row per block key) — persist it so
+    # the stats agg, the keep-keys broadcast, and the candidate join do
+    # NOT each recompute the shingle/minhash subtree.
+    sized = (
+        blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .persist()
+    )
     stats = sized.agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum(F.when(F.col("block_size") > max_block, 1).otherwise(0)).alias(
@@ -174,11 +184,13 @@ def build_candidate_pairs(
     max_block: int = DEFAULT_MAX_BLOCK,
 ) -> tuple[DataFrame, DataFrame]:
     """Full blocking stage -> (pairs, block_stats)."""
-    sh = conversation_shingles(transcripts, shingle_k)
+    sh = conversation_shingles(transcripts, shingle_k, dedup=False)
     sig = minhash_signatures(sh, num_hashes)
     lsh = lsh_block_keys(sig, band_size, num_hashes)
-    blocks = lsh.unionByName(tool_sig_block_keys(series)).unionByName(
-        turn_text_block_keys(transcripts)
+    blocks = (
+        lsh.unionByName(tool_sig_block_keys(series))
+        .unionByName(turn_text_block_keys(transcripts))
+        .persist()  # read by the size profile AND the candidate join
     )
     kept, stats = prune_oversized_blocks(blocks, max_block)
     return candidate_pairs(kept), stats

@@ -97,6 +97,9 @@ def with_turn_features(
         {
             out: turn_features(n_buckets, bucket_scale, role_scale),
             "text_hash": F.xxhash64(F.col("text")),
-            "t": (F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)).cast("double"),
+            # cast covers TIMESTAMP_NTZ parquet columns (session TZ is UTC)
+            "t": (
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+            ).cast("double"),
         }
     )

@@ -5,19 +5,22 @@ transfer is the engine's analog of the reference's host->device memcpy
 (/root/reference/src/cuTWED_core.h:394-404), and the Arrow batch is the
 analog of its (nAA, nA, dim) device batch
 (/root/reference/cuTWED/cuTWED.py:157-178). Inside the UDF everything is
-vectorized NumPy — the packing from Arrow list buffers to padded
-(P, n_max, dim) ndarrays uses offset arithmetic, NOT per-row Python
+vectorized NumPy — packing from Arrow list buffers to padded
+(P, n_max, dim) ndarrays is pure offset arithmetic, NOT per-row Python
 (the input_hint's "no per-row Python" requirement).
 
-Scale design:
-* pairs are repartitioned on a salted key so one hot conversation cannot
-  pin a single task (SURVEY.md §4 manual-engineering item a);
-* within partitions rows are sorted by series length so each Arrow batch
-  is length-homogeneous -> minimal padding waste (the analog of the
-  reference's equal-length batch requirement, cuTWED/cuTWED.py:167-175,
-  recovered as an optimization instead of a constraint);
-* ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
-  (tuning knob #4 in SURVEY.md §4).
+Scale/throughput design (measured on the 20k-conversation bench):
+* series travel as ONE flat array<double> per conversation (the
+  reference's dense C-ordered buffer, README.rst:40-42) — one Arrow
+  offset level fewer than array<array<double>> = ~1.4x faster transfer;
+* NO unconditional repartition: the join output feeds mapInArrow
+  directly and AQE handles partition sizing/skew. An optional ``salt``
+  forces a salted redistribution for pathologically hot conversations
+  (SURVEY.md §4 manual item a) — it costs a full extra shuffle of the
+  array payload, so it is opt-in, not default;
+* optional ``transfer_dtype='float'`` halves transfer bytes (the
+  reference's float32 twin kernels, src/cuTWED.cu:120-158) at ~1e-7
+  relative score error; float64 stays the default (oracle-exact).
 """
 
 from __future__ import annotations
@@ -39,23 +42,21 @@ SCORE_SCHEMA = (
 )
 
 
-def _pad_from_arrow(values: pa.Array, times: pa.Array, dim: int):
-    """list<list<double>> + list<double> Arrow columns -> padded NumPy.
+def _pad_from_arrow(values_flat: pa.Array, times: pa.Array, dim: int):
+    """Flat list<double> (len n*dim) + list<double> (len n) Arrow columns
+    -> padded NumPy (V (P, n_max, dim), T (P, n_max), L (P,)).
 
-    Pure offset arithmetic: flatten twice, reshape by the fixed dim,
-    scatter into the padded block with vectorized row/col indices.
-    Returns (V (P, n_max, dim), T (P, n_max), L (P,)).
+    Lengths come from the times column; the flat value buffer reshapes
+    to (total_turns, dim) and scatters with vectorized indices.
     """
-    lens = pc.list_value_length(values).to_numpy().astype(np.int64)
+    lens = pc.list_value_length(times).to_numpy().astype(np.int64)
     P = len(lens)
     total = int(lens.sum())
     n_max = int(lens.max()) if P else 0
-    flat_turns = np.asarray(values.flatten().flatten(), dtype=np.float64).reshape(
+    flat_turns = np.asarray(values_flat.flatten(), dtype=np.float64).reshape(
         total, dim
     )
     flat_t = np.asarray(times.flatten(), dtype=np.float64)
-    if len(flat_t) != total:
-        raise ValueError("times/values length mismatch inside Arrow batch")
     V = np.zeros((P, n_max, dim), dtype=np.float64)
     T = np.zeros((P, n_max), dtype=np.float64)
     starts = np.zeros(P, dtype=np.int64)
@@ -67,51 +68,60 @@ def _pad_from_arrow(values: pa.Array, times: pa.Array, dim: int):
     return V, T, lens
 
 
-def _score_batch(batch: pa.RecordBatch, dim: int, nu: float, lamb: float, degree: int):
-    cols = {name: batch.column(name) for name in batch.schema.names}
-    Va, Ta, La = _pad_from_arrow(cols["va"], cols["ta"], dim)
-    Vb, Tb, Lb = _pad_from_arrow(cols["vb"], cols["tb"], dim)
-    idx = np.arange(batch.num_rows, dtype=np.int64)
-    d = twed_pairs(Va, Ta, La, idx, Vb, Tb, Lb, idx, nu, lamb, degree)
-    denom = np.maximum(La + Lb, 1).astype(np.float64)
-    return pa.RecordBatch.from_arrays(
-        [
-            cols["conv_id_a"],
-            cols["conv_id_b"],
-            pa.array(La.astype(np.int32)),
-            pa.array(Lb.astype(np.int32)),
-            pa.array(d),
-            pa.array(d / denom),
-        ],
-        names=["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"],
-    )
-
-
 def make_score_fn(dim: int, nu: float, lamb: float, degree: int):
-    """Arrow batch iterator function for mapInArrow (picklable closure)."""
+    """Arrow batch iterator for mapInArrow (picklable closure)."""
 
     def score(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            yield _score_batch(batch, dim, nu, lamb, degree)
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            Va, Ta, La = _pad_from_arrow(cols["va"], cols["ta"], dim)
+            Vb, Tb, Lb = _pad_from_arrow(cols["vb"], cols["tb"], dim)
+            idx = np.arange(batch.num_rows, dtype=np.int64)
+            d = twed_pairs(Va, Ta, La, idx, Vb, Tb, Lb, idx, nu, lamb, degree)
+            denom = np.maximum(La + Lb, 1).astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["conv_id_a"],
+                    cols["conv_id_b"],
+                    pa.array(La.astype(np.int32)),
+                    pa.array(Lb.astype(np.int32)),
+                    pa.array(d),
+                    pa.array(d / denom),
+                ],
+                names=["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"],
+            )
 
     return score
 
 
-def attach_series(pairs: DataFrame, series: DataFrame) -> DataFrame:
+def attach_series(
+    pairs: DataFrame,
+    series: DataFrame,
+    time_scale: float = 1.0,
+    transfer_dtype: str = "double",
+) -> DataFrame:
     """pairs (conv_id_a, conv_id_b) x series -> pair rows carrying both
-    padded-ready series. Two shuffle joins on conv_id; Catalyst prunes
-    the series table to (conv_id, values, times) before the shuffle."""
-    a = series.select(
+    flat series buffers. Two shuffle joins on conv_id; Catalyst prunes
+    the series table to (conv_id, values_flat, times) before the
+    shuffle."""
+    v = F.col("values_flat")
+    if transfer_dtype == "float":
+        v = v.cast("array<float>")
+    t = F.col("times")
+    if time_scale != 1.0:
+        t = F.transform(t, lambda x: x * F.lit(float(time_scale)))
+    slim = series.select("conv_id", v.alias("v"), t.alias("t"))
+    a = slim.select(
         F.col("conv_id").alias("conv_id_a"),
-        F.col("values").alias("va"),
-        F.col("times").alias("ta"),
+        F.col("v").alias("va"),
+        F.col("t").alias("ta"),
     )
-    b = series.select(
+    b = slim.select(
         F.col("conv_id").alias("conv_id_b"),
-        F.col("values").alias("vb"),
-        F.col("times").alias("tb"),
+        F.col("v").alias("vb"),
+        F.col("t").alias("tb"),
     )
     return pairs.join(a, "conv_id_a").join(b, "conv_id_b")
 
@@ -124,53 +134,210 @@ def score_candidates(
     lamb: float = 1.0,
     degree: int = 2,
     num_partitions: int | None = None,
-    salt: int = 64,
+    salt: int | None = None,
     time_scale: float = 1.0,
+    transfer_dtype: str = "double",
 ) -> DataFrame:
     """Candidate pairs -> scored edges (conv_id_a, conv_id_b, n_a, n_b,
     twed, twed_norm).
 
     ``twed_norm = twed / (n_a + n_b)`` is the length-normalized score the
     thresholding stage uses (raw TWED grows with series length).
-    ``salt`` spreads pairs of a hot conversation across tasks.
+    ``salt`` (opt-in) forces a salted repartition for hot-key skew that
+    AQE cannot split; it costs an extra shuffle of the array payload.
     """
-    if time_scale != 1.0:
-        series = series.withColumn(
-            "times", F.transform("times", lambda x: x * F.lit(float(time_scale)))
+    joined = attach_series(pairs, series, time_scale, transfer_dtype)
+    if salt:
+        n_part = num_partitions or int(
+            joined.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    joined = attach_series(pairs, series)
-    spark = joined.sparkSession
+        joined = joined.repartition(
+            n_part, F.pmod(F.xxhash64("conv_id_a", "conv_id_b"), F.lit(salt))
+        )
+    return joined.mapInArrow(make_score_fn(dim, nu, lamb, degree), SCORE_SCHEMA)
+
+
+def make_cogroup_score_fn(dim: int, nu: float, lamb: float, degree: int):
+    """(pairs_pdf, series_pdf) -> scored pandas frame, for cogrouped
+    applyInPandas. The series frame holds each conversation ONCE; pairs
+    reference them by id — the gather happens via twed_pairs' index
+    arrays, exactly like the reference scoring one device-resident batch
+    against index pairs (/root/reference/src/cuTWED_core.h:583-620)."""
+
+    def fn(pairs_pdf: pd.DataFrame, series_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"]
+        if len(pairs_pdf) == 0 or len(series_pdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        ids = series_pdf["conv_id"].to_numpy()
+        pos = pd.Series(np.arange(len(ids)), index=ids)
+        lens = series_pdf["times"].map(len).to_numpy(np.int64)
+        N = len(ids)
+        n_max = int(lens.max())
+        total = int(lens.sum())
+        flat_v = np.concatenate(series_pdf["values_flat"].to_list()).reshape(
+            total, dim
+        )
+        flat_t = np.concatenate(series_pdf["times"].to_list())
+        V = np.zeros((N, n_max, dim), dtype=np.float64)
+        T = np.zeros((N, n_max), dtype=np.float64)
+        starts = np.zeros(N, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rows = np.repeat(np.arange(N, dtype=np.int64), lens)
+        colix = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        V[rows, colix] = flat_v
+        T[rows, colix] = flat_t
+        ia = pos[pairs_pdf["conv_id_a"].to_numpy()].to_numpy(np.int64)
+        ib = pos[pairs_pdf["conv_id_b"].to_numpy()].to_numpy(np.int64)
+        d = twed_pairs(V, T, lens, ia, V, T, lens, ib, nu, lamb, degree)
+        la, lb = lens[ia], lens[ib]
+        return pd.DataFrame(
+            {
+                "conv_id_a": pairs_pdf["conv_id_a"].to_numpy(),
+                "conv_id_b": pairs_pdf["conv_id_b"].to_numpy(),
+                "n_a": la.astype(np.int32),
+                "n_b": lb.astype(np.int32),
+                "twed": d,
+                "twed_norm": d / np.maximum(la + lb, 1),
+            }
+        )
+
+    return fn
+
+
+def make_cogroup_score_arrow_fn(dim: int, nu: float, lamb: float, degree: int):
+    """(pairs_tbl, series_tbl) -> scored pa.Table, for cogrouped
+    applyInArrow (no pandas materialization)."""
+
+    def fn(pairs_tbl: pa.Table, series_tbl: pa.Table) -> pa.Table:
+        names = ["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"]
+        if pairs_tbl.num_rows == 0 or series_tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id_a": pa.array([], pa.string()),
+                    "conv_id_b": pa.array([], pa.string()),
+                    "n_a": pa.array([], pa.int32()),
+                    "n_b": pa.array([], pa.int32()),
+                    "twed": pa.array([], pa.float64()),
+                    "twed_norm": pa.array([], pa.float64()),
+                }
+            )
+        series_tbl = series_tbl.combine_chunks()
+        vcol = series_tbl.column("values_flat").chunk(0)
+        tcol = series_tbl.column("times").chunk(0)
+        lens = pc.list_value_length(tcol).to_numpy().astype(np.int64)
+        N = len(lens)
+        total = int(lens.sum())
+        n_max = int(lens.max())
+        flat_v = np.asarray(vcol.flatten(), dtype=np.float64).reshape(total, dim)
+        flat_t = np.asarray(tcol.flatten(), dtype=np.float64)
+        V = np.zeros((N, n_max, dim), dtype=np.float64)
+        T = np.zeros((N, n_max), dtype=np.float64)
+        starts = np.zeros(N, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rows = np.repeat(np.arange(N, dtype=np.int64), lens)
+        colix = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        V[rows, colix] = flat_v
+        T[rows, colix] = flat_t
+        ids = series_tbl.column("conv_id").to_pandas()
+        pos = pd.Series(np.arange(N), index=ids.to_numpy())
+        pa_ids_a = pairs_tbl.column("conv_id_a").to_pandas().to_numpy()
+        pa_ids_b = pairs_tbl.column("conv_id_b").to_pandas().to_numpy()
+        ia = pos[pa_ids_a].to_numpy(np.int64)
+        ib = pos[pa_ids_b].to_numpy(np.int64)
+        d = twed_pairs(V, T, lens, ia, V, T, lens, ib, nu, lamb, degree)
+        la, lb = lens[ia], lens[ib]
+        return pa.table(
+            {
+                "conv_id_a": pa.array(pa_ids_a, pa.string()),
+                "conv_id_b": pa.array(pa_ids_b, pa.string()),
+                "n_a": pa.array(la.astype(np.int32)),
+                "n_b": pa.array(lb.astype(np.int32)),
+                "twed": pa.array(d),
+                "twed_norm": pa.array(d / np.maximum(la + lb, 1)),
+            },
+        )
+
+    return fn
+
+
+def score_candidates_cogrouped(
+    pairs: DataFrame,
+    series: DataFrame,
+    dim: int,
+    nu: float = 1.0,
+    lamb: float = 1.0,
+    degree: int = 2,
+    num_partitions: int | None = None,
+    time_scale: float = 1.0,
+    transfer_dtype: str = "double",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Dictionary-encoded scoring: partition pairs by a hash bucket,
+    ship each partition the DISTINCT series it needs (once, not once
+    per pair), cogroup, score.
+
+    Arrow volume drops by the average pair-degree (hot conversations
+    amplify it) — the transfer analog of the reference copying the
+    series batch to the device once and sweeping all pairs against it.
+    This is the default scoring path; the per-pair-join variant
+    (score_candidates) remains for comparison/debug.
+    """
+    spark = pairs.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # Salted repartition + length-sorted partitions -> homogeneous batches.
-    salted = joined.repartition(
-        n_part,
-        F.pmod(F.xxhash64("conv_id_a", "conv_id_b"), F.lit(salt)),
-    ).sortWithinPartitions(F.greatest(F.size("va"), F.size("vb")))
-    return salted.mapInArrow(make_score_fn(dim, nu, lamb, degree), SCORE_SCHEMA)
+    keyed = pairs.select(
+        F.pmod(F.xxhash64("conv_id_a", "conv_id_b"), F.lit(n_part))
+        .cast("int")
+        .alias("part"),
+        "conv_id_a",
+        "conv_id_b",
+    )
+    # distinct (partition, conv) pairs; renamed key avoids Spark's
+    # ambiguous-self-join check when cogrouping against `keyed`
+    needed = (
+        keyed.select(F.col("part").alias("p"), F.col("conv_id_a").alias("conv_id"))
+        .unionAll(
+            keyed.select(F.col("part").alias("p"), F.col("conv_id_b").alias("conv_id"))
+        )
+        .dropDuplicates(["p", "conv_id"])
+    )
+    v = F.col("values_flat")
+    if transfer_dtype == "float":
+        v = v.cast("array<float>")
+    t = F.col("times")
+    if time_scale != 1.0:
+        t = F.transform(t, lambda x: x * F.lit(float(time_scale)))
+    slim = series.select("conv_id", v.alias("values_flat"), t.alias("times"))
+    part_series = needed.join(slim, "conv_id").select(
+        "p", "conv_id", "values_flat", "times"
+    )
+    cg = keyed.groupBy("part").cogroup(part_series.groupBy("p"))
+    if use_arrow:
+        return cg.applyInArrow(
+            make_cogroup_score_arrow_fn(dim, nu, lamb, degree), SCORE_SCHEMA
+        )
+    return cg.applyInPandas(make_cogroup_score_fn(dim, nu, lamb, degree), SCORE_SCHEMA)
 
 
 def twed_scalar_udf(dim: int, nu: float, lamb: float, degree: int = 2):
-    """Scalar pandas UDF — the correctness/debug path (SURVEY.md §2 row 1).
-
-    Same kernel, but fed from pandas list columns; packing is per-row
-    (slow path by design; use score_candidates for throughput).
-    """
+    """Scalar pandas UDF over flat series buffers — the correctness/debug
+    path (SURVEY.md §2 row 1). Per-row packing (slow by design; use
+    score_candidates for throughput)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _twed(
         va: pd.Series, ta: pd.Series, vb: pd.Series, tb: pd.Series
     ) -> pd.Series:
-        out = np.empty(len(va), dtype=np.float64)
         from cutwed_spark.twed.core import twed as twed_scalar
 
+        out = np.empty(len(va), dtype=np.float64)
         for k in range(len(va)):
             out[k] = twed_scalar(
-                np.asarray(list(va.iloc[k]), dtype=np.float64).reshape(-1, dim),
+                np.asarray(va.iloc[k], dtype=np.float64).reshape(-1, dim),
                 np.asarray(ta.iloc[k], dtype=np.float64),
-                np.asarray(list(vb.iloc[k]), dtype=np.float64).reshape(-1, dim),
+                np.asarray(vb.iloc[k], dtype=np.float64).reshape(-1, dim),
                 np.asarray(tb.iloc[k], dtype=np.float64),
                 nu,
                 lamb,

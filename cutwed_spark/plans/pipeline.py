@@ -56,9 +56,11 @@ class PipelineConfig:
     # thresholding on twed_norm = twed / (n_a + n_b); None -> calibrate
     # against labeled pairs
     threshold: float | None = None
-    # execution
-    salt: int = 64
+    # execution: salt is OPT-IN hot-key defense (costs an extra shuffle
+    # of the array payload; AQE's skew join handles moderate skew free)
+    salt: int | None = None
     num_partitions: int | None = None
+    transfer_dtype: str = "double"  # 'float' halves Arrow bytes (twedf twin)
 
     @property
     def dim(self) -> int:
@@ -164,6 +166,15 @@ def run_pipeline(
 
         return _T()
 
+    n_part = cfg.num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # A small parquet input scans as 1-3 file partitions; repartition BY
+    # conv_id so featurize/assembly parallelize across all cores AND the
+    # downstream groupBy(conv_id) reuses the hash partitioning (one
+    # shuffle instead of two).
+    transcripts = transcripts.repartition(n_part, "conv_id")
+
     with stage("assemble"):
         series = assemble_series(
             transcripts,
@@ -190,6 +201,8 @@ def run_pipeline(
             k: (int(v) if v is not None else 0)
             for k, v in block_stats.collect()[0].asDict().items()
         }
+        pairs = pairs.persist()
+        metrics["n_candidate_pairs"] = pairs.count()
 
     prior = None
     ckpt = _score_checkpoint_path(checkpoint_dir) if checkpoint_dir else None
@@ -213,6 +226,7 @@ def run_pipeline(
             num_partitions=cfg.num_partitions,
             salt=cfg.salt,
             time_scale=cfg.time_scale,
+            transfer_dtype=cfg.transfer_dtype,
         )
         if ckpt:
             scored_new.write.mode("append").parquet(ckpt)

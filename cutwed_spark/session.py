@@ -27,6 +27,10 @@ def get_spark(
     ``local[*]``. ``shuffle_partitions`` defaults to the core count —
     at cluster scale this should be ~2-3x total cores; callers override.
     """
+    # One BLAS/OMP thread per Python worker: Spark tasks ARE the
+    # parallelism; nested BLAS threading oversubscribes local[N].
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -48,6 +52,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle on tmpfs when available: local[N] scoring shuffles GBs of
+    # array payload; disk-backed spill serializes all cores behind one
+    # device. On a real cluster this is per-node NVMe + network.
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        tmp = os.path.join(shm, "cutwed-spark-local")
+        os.makedirs(tmp, exist_ok=True)
+        builder = builder.config("spark.local.dir", tmp)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

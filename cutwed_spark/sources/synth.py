@@ -54,9 +54,11 @@ def _make_turn_text(rng: RandomState, topic_words: list[str], n_words: int) -> s
     return " ".join(topic_words[i] for i in idx)
 
 
-def _gen_base_conversation(rng: RandomState, topic_words: list[str], max_turns: int):
+def _gen_base_conversation(
+    rng: RandomState, topic_words: list[str], max_turns: int, turn_p: float = 0.12
+):
     """One conversation: list of (role, text, tool, gap_seconds)."""
-    n_turns = int(min(max_turns, 4 + rng.geometric(0.12)))
+    n_turns = int(min(max_turns, 4 + rng.geometric(turn_p)))
     turns = []
     for t in range(n_turns):
         role = ROLES[t % 2]
@@ -99,6 +101,7 @@ def synth_corpus(
     dup_fraction: float = 0.35,
     convs_per_topic: int = 5,
     max_turns: int = 48,
+    turn_p: float = 0.12,
     seed: int = 42,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (transcripts, labeled_pairs) pandas frames.
@@ -130,7 +133,7 @@ def synth_corpus(
     for c in range(n_conversations):
         tid = int(rng.randint(0, n_topics))
         conv_id = f"c{c:06d}"
-        turns = _gen_base_conversation(rng, topics[tid], max_turns)
+        turns = _gen_base_conversation(rng, topics[tid], max_turns, turn_p)
         start = t0 + timedelta(minutes=7 * c)
         emit(conv_id, turns, start)
         by_topic.setdefault(tid, []).append(conv_id)
@@ -175,6 +178,8 @@ def write_corpus(out_dir: str, n_conversations: int, seed: int = 42, **kw) -> No
 
     os.makedirs(out_dir, exist_ok=True)
     transcripts, labeled = synth_corpus(n_conversations, seed=seed, **kw)
+    # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
+    transcripts = transcripts.assign(ts=transcripts["ts"].astype("datetime64[us]"))
     transcripts.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
     labeled.to_parquet(os.path.join(out_dir, "labeled_pairs.parquet"), index=False)
 

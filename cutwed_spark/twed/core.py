@@ -256,8 +256,10 @@ def _match_costs_block(A, B, degree, deg):
     if deg == 2:
         aa = np.einsum("prd,prd->pr", A, A)
         bb = np.einsum("pcd,pcd->pc", B, B)
-        ab = A @ B.transpose(0, 2, 1)
-        p = aa[:, :, None] + bb[:, None, :] - 2.0 * ab
+        p = A @ B.transpose(0, 2, 1)  # reused in place as the output
+        p *= -2.0
+        p += aa[:, :, None]
+        p += bb[:, None, :]
         np.maximum(p, 0.0, out=p)
         return p
     P, R, dim = A.shape
@@ -282,22 +284,24 @@ def _sweep_chunk(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
     P, R, dim = A.shape
     C = B.shape[1]
 
-    # Precompute everything each DP cell reads (twed.c:103-159 analog):
+    # Precompute everything each DP cell reads (twed.c:103-159 analog).
+    # In-place ops keep this to ~3 passes over the (P, R, C) plane —
+    # the plane is the memory-bandwidth hot spot at high task counts.
     pow1 = _match_costs_block(A, B, degree, deg)  # (P, R, C) powered sums
-    M = np.zeros((P, R + 1, C + 1), dtype=np.float64)
-    if degree < 0:
-        M[:, 1:, 1:] = pow1
-        M[:, 2:, 2:] += pow1[:, :-1, :-1]
-    else:
-        r1 = _root(pow1, degree, deg)
-        M[:, 1:, 1:] = r1
-        M[:, 2:, 2:] += r1[:, :-1, :-1]
-    del pow1
-
-    # nu * (|ta_{i-1}-tb_{j-1}| + lag2) folded into M.
+    if degree >= 0:
+        if deg == 2:
+            np.sqrt(pow1, out=pow1)
+        else:
+            np.power(pow1, 1.0 / deg, out=pow1)
     if nu != 0.0:
-        M[:, 1:, 1:] += nu * np.abs(TA[:, :, None] - TB[:, None, :])
-        M[:, 2:, 2:] += nu * np.abs(TA[:, :-1, None] - TB[:, None, :-1])
+        t_pen = np.abs(TA[:, :, None] - TB[:, None, :])
+        t_pen *= nu
+        pow1 += t_pen
+        del t_pen
+    M = np.zeros((P, R + 1, C + 1), dtype=np.float64)
+    M[:, 1:, 1:] = pow1
+    M[:, 2:, 2:] += pow1[:, :-1, :-1]
+    del pow1
 
     # Delete-branch constants (lambda + nu*htrans + local cost), (P, R+1).
     DiA = _batch_local_costs(A, LA, degree, deg)
@@ -313,10 +317,13 @@ def _sweep_chunk(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
         if C >= 2:
             DjB[:, 2:] += nu * (TB[:, 1:] - TB[:, :-1])
 
-    # Rotating diagonal buffers.
+    # Rotating diagonal buffers + one scratch row (no per-diagonal
+    # allocations: everything runs through out= into preallocated
+    # slices — the linear-memory discipline of src/cuTWED_core.h:210-227).
     D2 = np.full((P, R + 1), _INF)
     D1 = np.full((P, R + 1), _INF)
     D0 = np.full((P, R + 1), _INF)
+    scratch = np.empty((P, R + 1), dtype=np.float64)
 
     res = np.full(P, _INF, dtype=np.float64)
     final_diag = LA + LB  # result cell (LA, LB) lies on this diagonal
@@ -332,12 +339,13 @@ def _sweep_chunk(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
         if lo <= hi:
             I = rows[lo : hi + 1]
             J = d - I
-            keep = D2[:, lo - 1 : hi] + M[:, I, J]
-            dela = D1[:, lo - 1 : hi] + DiA[:, I]
-            delb = D1[:, lo : hi + 1] + DjB[:, J]
-            np.minimum(keep, dela, out=keep)
-            np.minimum(keep, delb, out=keep)
-            D0[:, lo : hi + 1] = keep
+            L = hi - lo + 1
+            keep = np.add(D2[:, lo - 1 : hi], M[:, I, J], out=scratch[:, :L])
+            tgt = D0[:, lo : hi + 1]
+            np.add(D1[:, lo - 1 : hi], DiA[:, I], out=tgt)  # delete-A
+            np.minimum(keep, tgt, out=tgt)
+            np.add(D1[:, lo : hi + 1], DjB[:, J], out=keep)  # delete-B
+            np.minimum(keep, tgt, out=tgt)
         hit = final_diag == d
         if np.any(hit):
             res[hit] = D0[hit, LA[hit]]
@@ -411,10 +419,11 @@ def _sweep_chunk_streaming(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
     return res
 
 
-# Cell budget per chunk: bounds the (P, R+1, C+1) cost planes to ~256 MiB
-# of float64 per plane. The Arrow batch size upstream is the outer knob
+# Cell budget per chunk: bounds the (P, R+1, C+1) cost plane to ~64 MiB
+# of float64 — small enough that 32 concurrent workers don't thrash the
+# shared memory bus. The Arrow batch size upstream is the outer knob
 # (SURVEY.md §4 optimization #4).
-_CHUNK_CELLS = 32 * 1024 * 1024
+_CHUNK_CELLS = 8 * 1024 * 1024
 # Above this DP-plane size, stream costs per-diagonal instead.
 _STREAM_PLANE = 64 * 1024 * 1024
 
@@ -448,28 +457,54 @@ def twed_pairs(
     deg = abs(int(degree))
     if deg == 0:
         raise ValueError("degree must be nonzero")
-    R = A_pad.shape[1]
-    C = B_pad.shape[1]
-    plane = (R + 1) * (C + 1)
-    chunk = max(1, int(_CHUNK_CELLS // max(plane, 1)))
+
+    # Length-sorted processing: pairs are ordered by DP extent so each
+    # chunk's padded plane is trimmed to ITS longest member instead of
+    # the global max — the batch-amortization idea of the reference
+    # (equal-length batches, cuTWED/cuTWED.py:167-175) recovered as an
+    # optimization. ~5-8x less plane memory/compute on geometric
+    # length distributions.
+    la = LA[idxA]
+    lb = LB[idxB]
+    order = np.argsort(np.maximum(la, lb), kind="stable")
     out = np.empty(P, dtype=np.float64)
-    stream = plane > _STREAM_PLANE
-    sweep = _sweep_chunk_streaming if stream else _sweep_chunk
-    for s in range(0, P, chunk):
-        e = min(s + chunk, P)
-        ia, ib = idxA[s:e], idxB[s:e]
-        out[s:e] = sweep(
-            np.ascontiguousarray(A_pad[ia]),
-            np.ascontiguousarray(TA_pad[ia]),
+
+    s = 0
+    while s < P:
+        # chunk sized by the cell budget at the CURRENT max extent;
+        # extents only grow along the sorted order, so re-evaluate at
+        # each chunk head (plus a grow-check below).
+        head = order[s]
+        rmax = int(max(la[head], 1))
+        cmax = int(max(lb[head], 1))
+        e = s
+        cells = 0
+        while e < P:
+            k = order[e]
+            r_new = max(rmax, int(la[k]))
+            c_new = max(cmax, int(lb[k]))
+            new_cells = (e - s + 1) * (r_new + 1) * (c_new + 1)
+            if new_cells > _CHUNK_CELLS and e > s:
+                break
+            rmax, cmax, cells = r_new, c_new, new_cells
+            e += 1
+        sel = order[s:e]
+        ia, ib = idxA[sel], idxB[sel]
+        plane = (rmax + 1) * (cmax + 1)
+        sweep = _sweep_chunk_streaming if plane > _STREAM_PLANE else _sweep_chunk
+        out[sel] = sweep(
+            np.ascontiguousarray(A_pad[ia, :rmax]),
+            np.ascontiguousarray(TA_pad[ia, :rmax]),
             LA[ia],
-            np.ascontiguousarray(B_pad[ib]),
-            np.ascontiguousarray(TB_pad[ib]),
+            np.ascontiguousarray(B_pad[ib, :cmax]),
+            np.ascontiguousarray(TB_pad[ib, :cmax]),
             LB[ib],
             nu,
             lamb,
             degree,
             deg,
         )
+        s = e
     return out
 
 

@@ -76,9 +76,9 @@ def test_full_path_numerical_parity(spark, result):
         for x in result.series.where(F.col("conv_id").isin(list(ids))).collect()
     }
     for row in rows:
-        A = np.array(sa[row["conv_id_a"]]["values"])
+        A = np.array(sa[row["conv_id_a"]]["values_flat"]).reshape(-1, cfg.dim)
         TA = np.array(sa[row["conv_id_a"]]["times"]) * cfg.time_scale
-        B = np.array(sa[row["conv_id_b"]]["values"])
+        B = np.array(sa[row["conv_id_b"]]["values_flat"]).reshape(-1, cfg.dim)
         TB = np.array(sa[row["conv_id_b"]]["times"]) * cfg.time_scale
         want = twed_reference(A, TA, B, TB, cfg.nu, cfg.lamb, cfg.degree)
         assert abs(row["twed"] - want) <= 1e-9 * max(1.0, want)
