@@ -1,0 +1,120 @@
+"""Command-line driver for the entity-resolution pipeline.
+
+Cluster launch (the north_rule's deployment shape):
+
+    zip -r cutwed_spark.zip cutwed_spark
+    spark-submit --py-files cutwed_spark.zip cutwed_spark/cli.py run \\
+        --input  s3://bucket/transcripts/ \\
+        --output s3://bucket/er_out/ \\
+        --checkpoint s3://bucket/er_ckpt/ \\
+        --labeled s3://bucket/labeled_pairs/      # optional, calibrates τ
+
+Local smoke:
+
+    python -m cutwed_spark.cli synth --out /tmp/corpus --n 1000
+    python -m cutwed_spark.cli run --input /tmp/corpus/transcripts.parquet \\
+        --labeled /tmp/corpus/labeled_pairs.parquet --output /tmp/er_out
+
+Under spark-submit the session comes from the submitted conf (master,
+executors, memory); standalone it falls back to local[*]. Outputs:
+``clusters/`` ``edges/`` ``scored/`` parquet + ``metrics_<run>.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from cutwed_spark.session import get_spark
+
+    return get_spark(
+        app_name="cutwed-er",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_synth(args) -> int:
+    from cutwed_spark.sources.synth import write_corpus
+
+    write_corpus(args.out, args.n, turn_p=args.turn_p, max_turns=args.max_turns)
+    print(json.dumps({"written": args.out, "n_conversations": args.n}))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    spark = _spark(args)
+    transcripts = spark.read.parquet(args.input)
+    labeled = spark.read.parquet(args.labeled) if args.labeled else None
+    cfg = PipelineConfig(
+        threshold=args.threshold,
+        nu=args.nu,
+        lamb=args.lamb,
+        max_turns=args.max_turns,
+        max_block=args.max_block,
+        salt=args.salt,
+        num_partitions=args.shuffle_partitions,
+        transfer_dtype=args.transfer_dtype,
+    )
+    res = run_pipeline(
+        spark, transcripts, cfg, labeled=labeled, checkpoint_dir=args.checkpoint
+    )
+    os.makedirs(args.output, exist_ok=True)
+    res.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+    res.edges.select(
+        "conv_id_a", "conv_id_b", "n_a", "n_b", F.round("twed", 6).alias("twed"),
+        F.round("twed_norm", 6).alias("twed_norm"),
+    ).write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
+    if args.write_scored:
+        res.scored.write.mode("overwrite").parquet(os.path.join(args.output, "scored"))
+    run_id = res.metrics["run_id"]
+    with open(os.path.join(args.output, f"metrics_{run_id}.json"), "w") as fh:
+        json.dump(res.metrics, fh, indent=2, default=str)
+    print(json.dumps(res.metrics, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cutwed_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="write a deterministic synthetic corpus")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--n", type=int, default=1000)
+    ps.add_argument("--turn-p", dest="turn_p", type=float, default=0.12)
+    ps.add_argument("--max-turns", dest="max_turns", type=int, default=64)
+    ps.set_defaults(fn=cmd_synth)
+
+    pr = sub.add_parser("run", help="run the ER pipeline")
+    pr.add_argument("--input", required=True, help="transcripts parquet path")
+    pr.add_argument("--labeled", default=None, help="labeled_pairs parquet path")
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--threshold", type=float, default=None)
+    pr.add_argument("--nu", type=float, default=0.05)
+    pr.add_argument("--lamb", type=float, default=0.5)
+    pr.add_argument("--max-turns", dest="max_turns", type=int, default=128)
+    pr.add_argument("--max-block", dest="max_block", type=int, default=64)
+    pr.add_argument("--salt", type=int, default=None)
+    pr.add_argument("--transfer-dtype", dest="transfer_dtype", default="double",
+                    choices=["double", "float"])
+    pr.add_argument("--master", default=None)
+    pr.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
+                    default=None)
+    pr.add_argument("--write-scored", dest="write_scored", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

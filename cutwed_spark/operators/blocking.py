@@ -182,13 +182,33 @@ def build_candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = DEFAULT_SHINGLE_K,
     max_block: int = DEFAULT_MAX_BLOCK,
+    short_conv_turns: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Full blocking stage -> (pairs, block_stats)."""
     sh = conversation_shingles(transcripts, shingle_k, dedup=False)
     sig = minhash_signatures(sh, num_hashes)
     lsh = lsh_block_keys(sig, band_size, num_hashes)
+    # Fourth axis: word-level (k=1) minhash with single-row bands, for
+    # SHORT conversations only — their k-gram shingle sets are too small
+    # to survive banding after heavy edits. Word-level hashing collides
+    # heavily (same-domain conversations share vocabulary), so gating it
+    # on conversation length bounds the candidate blow-up to
+    # short-x-short pairs; the block-size cap and scoring handle those.
+    short_ids = series.where(F.col("n_turns") < F.lit(short_conv_turns)).select(
+        "conv_id"
+    )
+    # plain join (AQE picks the strategy): short_ids can itself be huge
+    # at 10^12-turn scale, so no forced broadcast here
+    words = conversation_shingles(
+        transcripts.join(short_ids, "conv_id"), 1, dedup=False
+    )
+    wsig = minhash_signatures(words, 8)
+    wlsh = lsh_block_keys(wsig, 1, 8).withColumn(
+        "block_key", F.xxhash64(F.lit("wordmh"), F.col("block_key"))
+    )
     blocks = (
-        lsh.unionByName(tool_sig_block_keys(series))
+        lsh.unionByName(wlsh)
+        .unionByName(tool_sig_block_keys(series))
         .unionByName(turn_text_block_keys(transcripts))
         .persist()  # read by the size profile AND the candidate join
     )

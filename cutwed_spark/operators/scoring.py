@@ -38,8 +38,36 @@ from cutwed_spark.twed.core import twed_pairs
 
 SCORE_SCHEMA = (
     "conv_id_a string, conv_id_b string, n_a int, n_b int, "
-    "twed double, twed_norm double"
+    "twed double, twed_norm double, twed_ratio double"
 )
+
+
+def _self_delete_cost(V, T, L, nu, lamb, degree):
+    """d(X, empty) per padded series: the delete-everything TWED path =
+    sum of local delete costs + lambda*n + nu*t_last (htrans telescopes,
+    twed.c:179-181). Normalizing d(A,B) by d(A,0)+d(0,B) gives a
+    length- and magnitude-invariant score in (0, 1]."""
+    deg = abs(int(degree))
+    P, n_max, _ = V.shape
+    first = np.sqrt(np.sum(V[:, 0] ** 2, axis=-1)) if deg == 2 else np.sum(
+        np.abs(V[:, 0]) ** deg, axis=-1
+    ) ** (1.0 / deg)
+    if n_max >= 2:
+        d = V[:, 1:] - V[:, :-1]
+        step = (
+            np.sqrt(np.sum(d**2, axis=-1))
+            if deg == 2
+            else np.sum(np.abs(d) ** deg, axis=-1) ** (1.0 / deg)
+        )
+        mask = np.arange(1, n_max)[None, :] < L[:, None]
+        local = first + np.sum(step * mask, axis=1)
+    else:
+        local = first
+    local[L == 0] = 0.0
+    idx = np.maximum(L - 1, 0)
+    t_last = T[np.arange(P), idx]
+    t_last = np.where(L > 0, t_last, 0.0)
+    return local + lamb * L + nu * t_last
 
 
 def _pad_from_arrow(values_flat: pa.Array, times: pa.Array, dim: int):
@@ -81,6 +109,9 @@ def make_score_fn(dim: int, nu: float, lamb: float, degree: int):
             idx = np.arange(batch.num_rows, dtype=np.int64)
             d = twed_pairs(Va, Ta, La, idx, Vb, Tb, Lb, idx, nu, lamb, degree)
             denom = np.maximum(La + Lb, 1).astype(np.float64)
+            self_cost = _self_delete_cost(Va, Ta, La, nu, lamb, degree) + _self_delete_cost(
+                Vb, Tb, Lb, nu, lamb, degree
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     cols["conv_id_a"],
@@ -89,8 +120,12 @@ def make_score_fn(dim: int, nu: float, lamb: float, degree: int):
                     pa.array(Lb.astype(np.int32)),
                     pa.array(d),
                     pa.array(d / denom),
+                    pa.array(d / np.maximum(self_cost, 1e-12)),
                 ],
-                names=["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"],
+                names=[
+                    "conv_id_a", "conv_id_b", "n_a", "n_b",
+                    "twed", "twed_norm", "twed_ratio",
+                ],
             )
 
     return score
@@ -165,7 +200,10 @@ def make_cogroup_score_fn(dim: int, nu: float, lamb: float, degree: int):
     against index pairs (/root/reference/src/cuTWED_core.h:583-620)."""
 
     def fn(pairs_pdf: pd.DataFrame, series_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"]
+        cols = [
+            "conv_id_a", "conv_id_b", "n_a", "n_b",
+            "twed", "twed_norm", "twed_ratio",
+        ]
         if len(pairs_pdf) == 0 or len(series_pdf) == 0:
             return pd.DataFrame({c: [] for c in cols})
         ids = series_pdf["conv_id"].to_numpy()
@@ -190,6 +228,7 @@ def make_cogroup_score_fn(dim: int, nu: float, lamb: float, degree: int):
         ib = pos[pairs_pdf["conv_id_b"].to_numpy()].to_numpy(np.int64)
         d = twed_pairs(V, T, lens, ia, V, T, lens, ib, nu, lamb, degree)
         la, lb = lens[ia], lens[ib]
+        self_cost = _self_delete_cost(V, T, lens, nu, lamb, degree)
         return pd.DataFrame(
             {
                 "conv_id_a": pairs_pdf["conv_id_a"].to_numpy(),
@@ -198,6 +237,7 @@ def make_cogroup_score_fn(dim: int, nu: float, lamb: float, degree: int):
                 "n_b": lb.astype(np.int32),
                 "twed": d,
                 "twed_norm": d / np.maximum(la + lb, 1),
+                "twed_ratio": d / np.maximum(self_cost[ia] + self_cost[ib], 1e-12),
             }
         )
 
@@ -209,7 +249,6 @@ def make_cogroup_score_arrow_fn(dim: int, nu: float, lamb: float, degree: int):
     applyInArrow (no pandas materialization)."""
 
     def fn(pairs_tbl: pa.Table, series_tbl: pa.Table) -> pa.Table:
-        names = ["conv_id_a", "conv_id_b", "n_a", "n_b", "twed", "twed_norm"]
         if pairs_tbl.num_rows == 0 or series_tbl.num_rows == 0:
             return pa.table(
                 {
@@ -219,6 +258,7 @@ def make_cogroup_score_arrow_fn(dim: int, nu: float, lamb: float, degree: int):
                     "n_b": pa.array([], pa.int32()),
                     "twed": pa.array([], pa.float64()),
                     "twed_norm": pa.array([], pa.float64()),
+                    "twed_ratio": pa.array([], pa.float64()),
                 }
             )
         series_tbl = series_tbl.combine_chunks()
@@ -246,6 +286,7 @@ def make_cogroup_score_arrow_fn(dim: int, nu: float, lamb: float, degree: int):
         ib = pos[pa_ids_b].to_numpy(np.int64)
         d = twed_pairs(V, T, lens, ia, V, T, lens, ib, nu, lamb, degree)
         la, lb = lens[ia], lens[ib]
+        self_cost = _self_delete_cost(V, T, lens, nu, lamb, degree)
         return pa.table(
             {
                 "conv_id_a": pa.array(pa_ids_a, pa.string()),
@@ -254,6 +295,9 @@ def make_cogroup_score_arrow_fn(dim: int, nu: float, lamb: float, degree: int):
                 "n_b": pa.array(lb.astype(np.int32)),
                 "twed": pa.array(d),
                 "twed_norm": pa.array(d / np.maximum(la + lb, 1)),
+                "twed_ratio": pa.array(
+                    d / np.maximum(self_cost[ia] + self_cost[ib], 1e-12)
+                ),
             },
         )
 

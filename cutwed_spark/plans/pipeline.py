@@ -53,9 +53,11 @@ class PipelineConfig:
     lamb: float = 0.5
     degree: int = 2
     time_scale: float = 1.0 / 60.0
-    # thresholding on twed_norm = twed / (n_a + n_b); None -> calibrate
+    # thresholding on twed_ratio = d(A,B) / (d(A,empty)+d(B,empty)) —
+    # length- and magnitude-invariant in (0, 1]; None -> calibrate
     # against labeled pairs
     threshold: float | None = None
+    score_col: str = "twed_ratio"
     # execution: salt is OPT-IN hot-key defense (costs an extra shuffle
     # of the array payload; AQE's skew join handles moderate skew free)
     salt: int | None = None
@@ -95,9 +97,9 @@ def _f1_curve(scores: np.ndarray, labels: np.ndarray) -> tuple[float, float]:
 
 
 def calibrate_threshold(
-    scored: DataFrame, labeled: DataFrame
+    scored: DataFrame, labeled: DataFrame, score_col: str = "twed_ratio"
 ) -> tuple[float, float]:
-    """Pick the twed_norm threshold maximizing F1 on labeled pairs.
+    """Pick the score threshold maximizing F1 on labeled pairs.
 
     Labeled pairs never surfaced by blocking count as non-matches at any
     threshold (score = +inf). The labeled table is evaluation-scale;
@@ -106,14 +108,14 @@ def calibrate_threshold(
     joined = (
         labeled.select("conv_id_a", "conv_id_b", "is_match")
         .join(
-            scored.select("conv_id_a", "conv_id_b", "twed_norm"),
+            scored.select("conv_id_a", "conv_id_b", score_col),
             ["conv_id_a", "conv_id_b"],
             "left",
         )
-        .select("is_match", "twed_norm")
+        .select("is_match", score_col)
         .toPandas()
     )
-    scores = joined["twed_norm"].to_numpy(dtype=np.float64)
+    scores = joined[score_col].to_numpy(dtype=np.float64)
     scores = np.where(np.isnan(scores), np.inf, scores)
     labels = joined["is_match"].to_numpy()
     return _f1_curve(scores, labels)
@@ -242,16 +244,18 @@ def run_pipeline(
         if cfg.threshold is not None:
             threshold = float(cfg.threshold)
         elif labeled is not None:
-            threshold, cal_f1 = calibrate_threshold(scored, labeled)
+            threshold, cal_f1 = calibrate_threshold(scored, labeled, cfg.score_col)
             metrics["calibration_f1"] = cal_f1
         else:
-            # Unsupervised fallback: sparse valley between near-dup and
-            # background score mass; conservative default.
-            threshold = float(
-                scored.agg(F.expr("percentile_approx(twed_norm, 0.05)")).collect()[0][0]
+            # Unsupervised fallback: twed_ratio is scale-free, so a
+            # fixed conservative cut works without labels.
+            threshold = 0.35 if cfg.score_col == "twed_ratio" else float(
+                scored.agg(
+                    F.expr(f"percentile_approx({cfg.score_col}, 0.05)")
+                ).collect()[0][0]
                 or 0.5
             )
-        edges = scored.where(F.col("twed_norm") <= F.lit(threshold))
+        edges = scored.where(F.col(cfg.score_col) <= F.lit(threshold))
         metrics["threshold"] = threshold
         metrics["n_match_edges"] = edges.count()
 

@@ -1,0 +1,186 @@
+"""Unit tests for the training-data operators (dedup, similarity,
+textstats, multimodal) on planted fixtures — complements the DuckDB
+oracle checks in tools/check_oracles.py with known-answer cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cutwed_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_pairs,
+)
+from cutwed_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from cutwed_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from cutwed_spark.operators.textstats import lang_id, quality_stats, token_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    near = "the quick brown fox jumps over the lazy cat and runs away fast"
+    other = "completely different content about spark query engines and shuffles"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, "  " + base.upper() + "  "),  # normalizes to dup of 0
+        (3, near),          # near dup of 0
+        (4, other),
+        (5, "zz qq ww"),    # short junk
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 3 and g["min_doc_id"] == 0 and g["max_doc_id"] == 2
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert 0.5 <= pairs[(0, 3)] < 1.0  # one word changed
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recall(docs):
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert (0, 4) not in got
+
+
+def test_simhash_distance(docs, spark):
+    sim = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    assert sim[0] == sim[1] == sim[2]
+    ham_near = bin(sim[0] ^ sim[3]).count("1")
+    ham_far = bin(sim[0] ^ sim[4]).count("1")
+    assert ham_near < ham_far
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=4).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(1)
+    centers = rng.randn(4, 16) * 2
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = centers[c] + rng.randn(16) * 0.15
+        rows.append((i, [float(x) for x in v], c))
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int"),
+        rows,
+    )
+
+
+def test_cosine_topk_vs_numpy(emb):
+    df, rows = emb
+    got = cosine_topk(df, k=3).collect()
+    V = np.array([r[1] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    np.fill_diagonal(sims, -np.inf)
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["cos"]))
+    for vid, lst in by_vec.items():
+        lst.sort()
+        want_top1 = int(np.argmax(np.round(sims[vid], 4)))
+        assert lst[0][1] == want_top1 or np.isclose(
+            np.round(sims[vid, lst[0][1]], 4), np.round(sims[vid, want_top1], 4)
+        )
+        assert len(lst) == 3
+
+
+def test_lsh_topk_recall(emb):
+    df, rows = emb
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk(df, k=1).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(df, dim=16, k=1, n_planes=6).collect()
+    }
+    # tight clusters: bucketed ANN should recover most exact top-1s
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_quality_and_lang(docs):
+    q = {r["doc_id"]: r for r in quality_stats(docs).collect()}
+    assert q[0]["n_words"] == 13
+    assert q[0]["stopword_ratio"] > q[5]["stopword_ratio"]
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[5] == "other"
+
+
+def test_token_counts(docs):
+    t = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert t[0]["n_words"] == 13
+    assert t[0]["est_bpe_tokens"] >= t[0]["n_words"]
+
+
+def test_multimodal_decode(spark):
+    media = synth_media(spark, n=30)
+    out = decode_media(media).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["ok"] and r["n_bytes"] >= 256
+        if r["kind"] == "image":
+            assert r["width"] >= 64 and r["duration_ms"] == 0
+        if r["kind"] == "audio":
+            assert r["duration_ms"] >= 500 and r["width"] == 0
+    # determinism
+    again = decode_media(media).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_multimodal_real_codec_gate(spark):
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, use_real_codec=True).collect()
+
+
+def test_multimodal_features_feed_similarity(spark):
+    media = synth_media(spark, n=24)
+    feats = extract_features(media).withColumnRenamed("media_id", "vec_id").withColumnRenamed("feature", "embedding")
+    top = cosine_topk(feats, k=2).collect()
+    assert len(top) == 24 * 2
+    assert all(abs(r["cos"]) <= 1.0 for r in top)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synth_media(spark, n=12)
+    frames = sample_frames(media, frame_bytes=128, every_k=2).collect()
+    assert len(frames) > 0
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in by_media.values():
+        assert all(i % 2 == 0 for i in idxs)  # every 2nd frame kept
