@@ -1,0 +1,59 @@
+"""Fast driver-contract checks: a representative subset of
+__spark_entry__.queries() compared against their DuckDB oracles at
+sf0.001 (the full sweep lives in tools/check_oracles.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "q1_pricing_summary",
+    "top3_orders_per_customer",
+    "events_sessionize",
+    "er_assemble_counts",
+    "er_tool_signatures",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "emb_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.sql(entry.oracle_sql()[name]).df()
+    assert set(sdf.columns) == set(ddf.columns)
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d = ddf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
+            a = s[c].to_numpy(np.float64)
+            b = d[c].to_numpy(np.float64)
+            ok = np.isclose(a, b, rtol=0, atol=1e-9) | (np.isnan(a) & np.isnan(b))
+            assert ok.all(), (name, c)
+        else:
+            assert (s[c].astype(str) == d[c].astype(str)).all(), (name, c)
+
+
+def test_all_queries_have_impls():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert len(q) >= 25
+    assert set(o) <= set(q)
+    # the two rows-only entries are the non-SQL-expressible TWED ops
+    assert set(q) - set(o) == {"er_match_edges", "er_clusters"}
