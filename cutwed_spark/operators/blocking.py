@@ -175,6 +175,81 @@ def candidate_pairs(blocks: DataFrame) -> DataFrame:
     )
 
 
+def with_signatures(
+    transcripts: DataFrame,
+    series: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    word_num_hashes: int = 8,
+    short_conv_turns: int = 8,
+) -> DataFrame:
+    """series + ``sig`` (k-gram minhash) + ``wsig`` (word minhash, short
+    conversations only, else null) — the blocking STATE columns.
+
+    Persisting these alongside the series makes blocking derivable from
+    state alone: the streaming/incremental path never re-reads old
+    transcripts, and the batch path computes each signature exactly once.
+    """
+    sh = conversation_shingles(transcripts, shingle_k, dedup=False)
+    sig = minhash_signatures(sh, num_hashes)
+    short_ids = series.where(F.col("n_turns") < F.lit(short_conv_turns)).select(
+        "conv_id"
+    )
+    words = conversation_shingles(
+        transcripts.join(short_ids, "conv_id"), 1, dedup=False
+    )
+    wsig = minhash_signatures(words, word_num_hashes).withColumnRenamed("sig", "wsig")
+    return series.join(sig, "conv_id", "left").join(wsig, "conv_id", "left")
+
+
+def block_keys_from_state(
+    state: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    word_num_hashes: int = 8,
+) -> DataFrame:
+    """All four blocking axes derived purely from the state table
+    (conv_id, sig, wsig, tool_sig, text_hashes):
+
+    1. k-gram minhash LSH bands (sig),
+    2. word minhash single-row bands (wsig; short conversations),
+    3. exact tool-sequence signature,
+    4. exact per-turn text fingerprint (text_hashes).
+    """
+    lsh = lsh_block_keys(state.where(F.col("sig").isNotNull()), band_size, num_hashes)
+    wbands = [
+        F.xxhash64(F.lit("wordmh"), F.lit(b), F.col("wsig")[b]).alias("bk")
+        for b in range(word_num_hashes)
+    ]
+    wlsh = (
+        state.where(F.col("wsig").isNotNull())
+        .select("conv_id", F.explode(F.array(*wbands)).alias("block_key"))
+    )
+    tool = state.where(F.col("tool_sig") != "").select(
+        "conv_id", F.xxhash64(F.lit("toolsig"), F.col("tool_sig")).alias("block_key")
+    )
+    ttext = state.select(
+        "conv_id",
+        F.explode_outer(F.col("text_hashes")).alias("th"),
+    ).select(
+        "conv_id", F.xxhash64(F.lit("turntext"), F.col("th")).alias("block_key")
+    ).where(F.col("block_key").isNotNull()).dropDuplicates(["conv_id", "block_key"])
+    return lsh.unionByName(wlsh).unionByName(tool).unionByName(ttext)
+
+
+def build_candidate_pairs_from_state(
+    state: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> tuple[DataFrame, DataFrame]:
+    """Blocking from the signature-carrying state table
+    -> (pairs, block_stats)."""
+    blocks = block_keys_from_state(state, band_size, num_hashes).persist()
+    kept, stats = prune_oversized_blocks(blocks, max_block)
+    return candidate_pairs(kept), stats
+
+
 def build_candidate_pairs(
     transcripts: DataFrame,
     series: DataFrame,

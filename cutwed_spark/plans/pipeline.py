@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cutwed_spark.operators.assemble import assemble_series, assembly_stats
-from cutwed_spark.operators.blocking import build_candidate_pairs
+from cutwed_spark.operators.blocking import (
+    build_candidate_pairs_from_state,
+    with_signatures,
+)
 from cutwed_spark.operators.clustering import assign_clusters
 from cutwed_spark.operators.featurize import feature_dim
 from cutwed_spark.operators.scoring import score_candidates
@@ -178,12 +181,20 @@ def run_pipeline(
     transcripts = transcripts.repartition(n_part, "conv_id")
 
     with stage("assemble"):
-        series = assemble_series(
+        # series + blocking signatures = the STATE table (one row per
+        # conversation); everything downstream derives from it, which is
+        # what makes the incremental/streaming path possible.
+        series = with_signatures(
             transcripts,
-            cfg.n_buckets,
-            cfg.max_turns,
-            bucket_scale=cfg.bucket_scale,
-            role_scale=cfg.role_scale,
+            assemble_series(
+                transcripts,
+                cfg.n_buckets,
+                cfg.max_turns,
+                bucket_scale=cfg.bucket_scale,
+                role_scale=cfg.role_scale,
+            ),
+            num_hashes=cfg.num_hashes,
+            shingle_k=cfg.shingle_k,
         ).persist()
         metrics["assembly"] = {
             k: (float(v) if v is not None else None)
@@ -191,12 +202,10 @@ def run_pipeline(
         }
 
     with stage("blocking"):
-        pairs, block_stats = build_candidate_pairs(
-            transcripts,
+        pairs, block_stats = build_candidate_pairs_from_state(
             series,
             num_hashes=cfg.num_hashes,
             band_size=cfg.band_size,
-            shingle_k=cfg.shingle_k,
             max_block=cfg.max_block,
         )
         metrics["blocking"] = {

@@ -251,6 +251,9 @@ def _match_costs_block(A, B, degree, deg):
 
     deg==2 uses the |a|^2+|b|^2-2ab expansion (BLAS batched matmul) —
     the CPU analog of cuTWED keeping the inner product in fast memory.
+    Trade-off: cancellation leaves ~sqrt(eps)*|x| absolute residue on
+    near-identical points (d(A,A) ~ 1e-7*|x| instead of exactly 0) —
+    irrelevant for thresholding, visible only to exact-zero asserts.
     Other degrees loop over dim to avoid a (P, R, C, dim) intermediate.
     """
     if deg == 2:

@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from cutwed_spark.operators.assemble import assemble_series
-from cutwed_spark.operators.blocking import build_candidate_pairs
+from cutwed_spark.operators.blocking import (
+    build_candidate_pairs_from_state,
+    with_signatures,
+)
 from cutwed_spark.operators.scoring import score_candidates, twed_scalar_udf, attach_series
 from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
 from cutwed_spark.sources.synth import synth_corpus
@@ -37,8 +40,8 @@ def test_blocking_recall(spark, corpus):
     candidate pair — blocking recall bounds pipeline recall."""
     trdf, labdf, _, lab = corpus
     cfg = PipelineConfig()
-    series = assemble_series(trdf, cfg.n_buckets, cfg.max_turns)
-    pairs, _ = build_candidate_pairs(trdf, series)
+    series = with_signatures(trdf, assemble_series(trdf, cfg.n_buckets, cfg.max_turns))
+    pairs, _ = build_candidate_pairs_from_state(series)
     pos = labdf.where("is_match")
     covered = pos.join(pairs, ["conv_id_a", "conv_id_b"]).count()
     total = pos.count()
@@ -89,8 +92,8 @@ def test_scalar_udf_matches_arrow_path(spark, corpus):
     path) and mapInArrow batch path agree."""
     trdf, _, _, _ = corpus
     cfg = PipelineConfig()
-    series = assemble_series(trdf, cfg.n_buckets, cfg.max_turns)
-    pairs, _ = build_candidate_pairs(trdf, series)
+    series = with_signatures(trdf, assemble_series(trdf, cfg.n_buckets, cfg.max_turns))
+    pairs, _ = build_candidate_pairs_from_state(series)
     pairs = pairs.limit(20)
     batch = {
         (r["conv_id_a"], r["conv_id_b"]): r["twed"]

@@ -1,0 +1,72 @@
+"""Incremental (Structured Streaming) ER must converge to the batch
+pipeline's answer: same match edges, same clusters, when conversations
+arrive across multiple microbatches."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
+from cutwed_spark.sources.synth import synth_corpus
+from cutwed_spark.streaming.ingest import finalize, run_incremental
+
+THRESHOLD = 0.5  # fixed: streaming has no labeled calibration
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    tr, lab = synth_corpus(150)
+    tr = tr.assign(ts=tr["ts"].astype("datetime64[us]"))
+    # split whole conversations across two file drops
+    convs = sorted(tr.conv_id.unique())
+    half = set(convs[: len(convs) // 2])
+    in_dir = root / "incoming"
+    os.makedirs(in_dir)
+    tr[tr.conv_id.isin(half)].to_parquet(in_dir / "drop1.parquet", index=False)
+    tr[~tr.conv_id.isin(half)].to_parquet(in_dir / "drop2.parquet", index=False)
+    return str(in_dir), str(root / "work"), tr, lab
+
+
+def test_incremental_matches_batch(spark, split_corpus):
+    in_dir, work_dir, tr, lab = split_corpus
+    cfg = PipelineConfig(threshold=THRESHOLD)
+    run_incremental(spark, in_dir, work_dir, cfg, max_files_per_trigger=1)
+    s_edges, s_clusters = finalize(spark, work_dir, cfg)
+
+    b = run_pipeline(spark, spark.createDataFrame(tr), cfg)
+    batch_edges = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in b.edges.collect()
+    }
+    stream_edges = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in s_edges.collect()
+    }
+    assert stream_edges == batch_edges
+
+    bc = {r["conv_id"]: r["cluster_id"] for r in b.clusters.collect()}
+    sc = {r["conv_id"]: r["cluster_id"] for r in s_clusters.collect()}
+    assert sc == bc
+
+
+def test_incremental_scores_match_batch(spark, split_corpus):
+    """Scores, not just edge sets: a pair scored in the stream must have
+    the same twed as the batch path (same kernel, same state)."""
+    in_dir, work_dir, tr, lab = split_corpus
+    cfg = PipelineConfig(threshold=THRESHOLD)
+    scored = spark.read.parquet(os.path.join(work_dir, "scored"))
+    b = run_pipeline(spark, spark.createDataFrame(tr), cfg)
+    j = (
+        b.scored.select("conv_id_a", "conv_id_b", "twed")
+        .join(
+            scored.select(
+                "conv_id_a", "conv_id_b", scored["twed"].alias("twed_s")
+            ),
+            ["conv_id_a", "conv_id_b"],
+        )
+        .collect()
+    )
+    assert len(j) > 0
+    for r in j:
+        assert np.isclose(r["twed"], r["twed_s"], rtol=1e-9), r
