@@ -52,6 +52,69 @@ def conversation_shingles(
     return out.dropDuplicates(["conv_id", "shingle"]) if dedup else out
 
 
+def turn_shingle_hashes(
+    transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K
+) -> DataFrame:
+    """-> (conv_id, shb: array<bigint>) — per-TURN shingle hash arrays.
+
+    Each shingle string is hashed exactly once (string hashing is the
+    dominant cost of blocking); the k-member hash family downstream
+    re-hashes the fixed-width bigint, which is several times cheaper.
+    No explode: the shingle set never becomes rows, so the minhash
+    aggregation shuffles 3 orders of magnitude fewer rows at 10^12-turn
+    scale (turns, not turn x shingle x hash).
+    """
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    shb = F.transform(
+        F.filter(shingles, lambda s: s != ""), lambda s: F.xxhash64(s)
+    )
+    return transcripts.select("conv_id", shb.alias("shb"))
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_from_hashes(
+    turn_hashes: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(conv_id, shb) per turn -> (conv_id, sig: array<bigint>).
+
+    Family member i of a shingle with base hash b is xxhash64(b, i)
+    (bigint re-hash — an independent family, cheap on fixed width).
+    Per-turn partial mins fold through an ordinary min() aggregate, so
+    Catalyst's map-side partial aggregation applies and the shuffle
+    carries num_hashes bigints per turn-group, never shingle rows.
+    """
+    def _merge(i):
+        return lambda acc, b: F.least(acc, F.xxhash64(b, F.lit(i)))
+
+    per_turn = [
+        F.aggregate(F.col("shb"), F.lit(_LONG_MAX), _merge(i)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = (
+        turn_hashes.select("conv_id", *per_turn)
+        .groupBy("conv_id")
+        .agg(*[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)])
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    # A conversation whose every turn is empty text has no shingles at
+    # all; its sentinel-only signature would LSH-collide with every
+    # other empty conversation — that is exactly the non-discriminative
+    # block the size cap would drop anyway, so null it out here.
+    return agg.select(
+        "conv_id",
+        F.when(sig[0] == F.lit(_LONG_MAX), F.lit(None)).otherwise(sig).alias("sig"),
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
@@ -190,15 +253,23 @@ def with_signatures(
     state alone: the streaming/incremental path never re-reads old
     transcripts, and the batch path computes each signature exactly once.
     """
-    sh = conversation_shingles(transcripts, shingle_k, dedup=False)
-    sig = minhash_signatures(sh, num_hashes)
-    short_ids = series.where(F.col("n_turns") < F.lit(short_conv_turns)).select(
-        "conv_id"
+    sh = turn_shingle_hashes(transcripts, shingle_k)
+    sig = minhash_from_hashes(sh, num_hashes)
+    # Short-conversation ids from a plain turn count on transcripts —
+    # NOT from ``series`` (series is usually an unpersisted plan here,
+    # and filtering it would re-run the whole featurize+collect subtree
+    # just to read n_turns). The count agg reuses the conv_id
+    # partitioning: no extra shuffle.
+    short_ids = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") < F.lit(short_conv_turns))
+        .select("conv_id")
     )
-    words = conversation_shingles(
-        transcripts.join(short_ids, "conv_id"), 1, dedup=False
+    words = turn_shingle_hashes(transcripts.join(short_ids, "conv_id"), 1)
+    wsig = minhash_from_hashes(words, word_num_hashes).withColumnRenamed(
+        "sig", "wsig"
     )
-    wsig = minhash_signatures(words, word_num_hashes).withColumnRenamed("sig", "wsig")
     return series.join(sig, "conv_id", "left").join(wsig, "conv_id", "left")
 
 

@@ -189,6 +189,12 @@ def score_candidates(
         joined = joined.repartition(
             n_part, F.pmod(F.xxhash64("conv_id_a", "conv_id_b"), F.lit(salt))
         )
+    # Length-homogeneous Arrow batches: an in-partition sort (no shuffle)
+    # by DP extent means each batch pads to ~its own mean instead of the
+    # partition max — less zero-fill memory traffic in the UDF and
+    # tighter kernel chunks (the reference's equal-length-batch
+    # requirement, cuTWED/cuTWED.py:167-175, recovered as an optimization).
+    joined = joined.sortWithinPartitions(F.greatest(F.size("ta"), F.size("tb")))
     return joined.mapInArrow(make_score_fn(dim, nu, lamb, degree), SCORE_SCHEMA)
 
 

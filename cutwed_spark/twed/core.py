@@ -422,11 +422,16 @@ def _sweep_chunk_streaming(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
     return res
 
 
-# Cell budget per chunk: bounds the (P, R+1, C+1) cost plane to ~64 MiB
-# of float64 — small enough that 32 concurrent workers don't thrash the
-# shared memory bus. The Arrow batch size upstream is the outer knob
-# (SURVEY.md §4 optimization #4).
-_CHUNK_CELLS = 8 * 1024 * 1024
+# Cell budget per chunk: bounds the (P, R+1, C+1) cost plane to ~2 MiB
+# of float64 so the plane (plus its pow1/time-penalty siblings) stays
+# cache-resident per worker. The anti-diagonal sweep re-reads the plane
+# once per diagonal with stride C — out of cache that is ~8x cache-line
+# traffic amplification, and measured aggregate throughput at 32 workers
+# collapses ~20-30x (8 MiB-cell chunks: ~10k pairs/s; 256 KiB-cell
+# chunks: ~300k pairs/s on the same host; 8->32-worker scaling
+# efficiency 0.2 -> 0.83+). The Arrow batch size upstream is the outer
+# knob (SURVEY.md §4 optimization #4).
+_CHUNK_CELLS = 256 * 1024
 # Above this DP-plane size, stream costs per-diagonal instead.
 _STREAM_PLANE = 64 * 1024 * 1024
 
