@@ -680,6 +680,104 @@ def _er_clusters(spark, sf_dir):
     return res.clusters
 
 
+# ----------------------------------------------------------------------
+# Multimodal operators (binary media columns; payload derived from the
+# documents table so DuckDB can reproduce the oracle-checkable columns)
+# ----------------------------------------------------------------------
+
+
+def _media_table(spark, sf_dir):
+    """documents -> deterministic media table: payload = utf-8 bytes of
+    text, kind round-robins by doc_id. Stands in for real media blobs;
+    the mapInPandas plumbing downstream is the real operator."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _mm_decode_meta(spark, sf_dir):
+    """decode_media (mapInPandas over binary payloads) -> typed
+    metadata; the oracle checks the codec-independent columns
+    (id, kind, byte count), the stub codec outputs are unit-tested
+    (tests/test_operators.py)."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.multimodal import decode_media
+
+    return decode_media(_media_table(spark, sf_dir)).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+MM_DECODE_META_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _mm_frame_sample(spark, sf_dir):
+    """sample_frames: video payloads chopped into 256-byte frames, every
+    4th kept (one output row per sampled frame). Oracle reproduces the
+    frame index arithmetic from byte lengths."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media_table(spark, sf_dir)).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+MM_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, greatest(octet_length(encode(text)) // 256, 1) AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_idx
+FROM v, LATERAL unnest(generate_series(0, n_frames - 1, 4)) AS u(i)
+"""
+
+
+def _mm_feature_stats(spark, sf_dir):
+    """extract_features (sha256-derived stub embedding) -> per-kind
+    feature statistics; the oracle checks the Spark-side aggregation
+    shape (counts and vector width), the feature values are
+    deterministic-stub outputs unit-tested in tests/test_operators.py."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.multimodal import extract_features
+
+    media = _media_table(spark, sf_dir)
+    feats = extract_features(media).join(
+        media.select("media_id", "kind"), "media_id"
+    )
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min(F.size("feature")).cast("long").alias("min_dim"),
+        F.max(F.size("feature")).cast("long").alias("max_dim"),
+    )
+
+
+MM_FEATURE_STATS_ORACLE = """
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n_media,
+       CAST(16 AS BIGINT) AS min_dim,
+       CAST(16 AS BIGINT) AS max_dim
+FROM documents GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (assemble -> block -> TWED -> cluster)
     on the deterministic synthetic transcript corpus; returns match
@@ -735,6 +833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_lsh_buckets": _emb_lsh_buckets,
+        # multimodal (binary media columns, mapInPandas plumbing)
+        "mm_decode_meta": _mm_decode_meta,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_feature_stats": _mm_feature_stats,
         # non-SQL-expressible (TWED kernel + iterative CC): rows-only
         "er_match_edges": _er_match_edges,
         "er_clusters": _er_clusters,
@@ -768,6 +870,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": EMB_COSINE_TOPK_ORACLE,
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,
         "emb_lsh_buckets": _lsh_buckets_oracle(),
+        "mm_decode_meta": MM_DECODE_META_ORACLE,
+        "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
+        "mm_feature_stats": MM_FEATURE_STATS_ORACLE,
         # er_match_edges / er_clusters intentionally omitted:
         # TWED DP + iterative connected components are not
         # SQL-expressible; covered by tests/test_twed_core.py and
