@@ -38,9 +38,18 @@ TABLES = [
 EMBEDDING_DIM = 64  # driver-provided embeddings table vector width
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    # Memoized per (session, sf_dir): re-reading 10 parquet footers per
+    # query call costs more than many of the queries themselves.
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _REGISTERED.add(key)
 
 
 def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
