@@ -9,6 +9,8 @@ oracle, and the vectorized anti-diagonal batch engine
 multivariate fixture (no reference data files are copied).
 """
 
+import os
+
 import numpy as np
 import pytest
 from numpy.random import RandomState
@@ -229,3 +231,41 @@ def test_degree_zero_rejected():
     A, TA, B, TB = sine_fixture(5)
     with pytest.raises(ValueError):
         twed(A, TA, B, TB, NU, LAMB, 0)
+
+
+# ----------------------------------------------------------------------
+# 3-way validation against the reference's MNIST fixture, read IN PLACE
+# from the read-only reference checkout (never copied into this repo).
+# Mirrors /root/reference/tests/test_Rn.py:104-190: R^28 series of
+# length 28, nu=1, lambda=1, degree=2.
+# ----------------------------------------------------------------------
+
+_MNIST_NPZ = "/root/reference/tests/data/mnist_4x4.npz"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_MNIST_NPZ), reason="reference fixture not present"
+)
+def test_mnist_fixture_three_way():
+    data = np.load(_MNIST_NPZ)
+    A = data["A"].astype(np.float64)
+    B = data["B"].astype(np.float64)
+    T = data["T"].astype(np.float64)
+    single_ref = 7948.0187956562495  # reference tests/test_Rn.py:126
+    assert np.allclose(twed(A, T, B, T, 1.0, 1.0, 2), single_ref)
+    assert np.allclose(twed_reference(A, T, B, T, 1.0, 1.0, 2), single_ref)
+    assert np.allclose(pytwed_oracle(A, T, B, T, 1.0, 1.0), single_ref)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_MNIST_NPZ), reason="reference fixture not present"
+)
+def test_mnist_fixture_batch_matrix():
+    data = np.load(_MNIST_NPZ)
+    AA = data["AA"].astype(np.float64)
+    BB = data["BB"].astype(np.float64)
+    T = data["T"].astype(np.float64)
+    DIST = data["DIST"].astype(np.float64)  # upper-tri golden matrix
+    TT = np.tile(T, (len(AA), 1))
+    D = twed_batch(AA, TT, BB, TT, 1.0, 1.0, 2)
+    assert np.allclose(np.triu(D), DIST)
