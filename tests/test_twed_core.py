@@ -269,3 +269,31 @@ def test_mnist_fixture_batch_matrix():
     TT = np.tile(T, (len(AA), 1))
     D = twed_batch(AA, TT, BB, TT, 1.0, 1.0, 2)
     assert np.allclose(np.triu(D), DIST)
+
+
+_SYNTH_CONTROL = (
+    "/root/reference/tests/data/synthetic_control-mld/synthetic_control.data"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_SYNTH_CONTROL), reason="reference dataset not present"
+)
+def test_synthetic_control_submatrix_vs_oracle():
+    """All-pairs batch over a 20-series subset of the UCI Synthetic
+    Control dataset (read in place from the reference checkout,
+    /root/reference/tests/test_synthetic_validation.py:33-83 semantics:
+    1-D series, unit time axis, nu=1, lambda=1, degree=2) agrees with
+    the O(n^2) Marteau oracle cell by cell."""
+    raw = np.loadtxt(_SYNTH_CONTROL)  # (600, 60)
+    X = raw[::30][:20].astype(np.float64)  # every 30th row: all 6 classes
+    n, m = X.shape
+    T = np.arange(1.0, m + 1.0)
+    TT = np.tile(T, (n, 1))
+    D = twed_batch(X, TT, X, TT, 1.0, 1.0, 2)
+    for i in range(0, n, 3):
+        for j in range(i, n, 4):
+            want = twed_reference(X[i], T, X[j], T, 1.0, 1.0, 2)
+            assert abs(D[i, j] - want) <= 1e-9 * max(1.0, want), (i, j)
+    assert np.allclose(np.diag(D), 0.0, atol=1e-8)
+    assert np.allclose(D, D.T, atol=1e-8)
