@@ -263,8 +263,12 @@ def main() -> None:
     for _ in range(2):
         small_runs.append(_spawn(f"pipeline:{SMALL_CORES}"))
         big_runs.append(_spawn(f"pipeline:{CPUS}"))
-    kern_small = _spawn(f"kernel:{SMALL_CORES}")
-    kern_big = _spawn(f"kernel:{CPUS}")
+    kern_small_runs, kern_big_runs = [], []
+    for _ in range(3):
+        kern_small_runs.append(_spawn(f"kernel:{SMALL_CORES}"))
+        kern_big_runs.append(_spawn(f"kernel:{CPUS}"))
+    kern_small = max(kern_small_runs, key=lambda r: r["pairs_per_sec"])
+    kern_big = max(kern_big_runs, key=lambda r: r["pairs_per_sec"])
     queries = _spawn("queries")
 
     small = max(small_runs, key=lambda r: r["pairs_per_sec"])
