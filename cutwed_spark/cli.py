@@ -51,9 +51,11 @@ def cmd_run(args) -> int:
 
     from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
 
+    from cutwed_spark.sources.io import read_table, write_table
+
     spark = _spark(args)
-    transcripts = spark.read.parquet(args.input)
-    labeled = spark.read.parquet(args.labeled) if args.labeled else None
+    transcripts = read_table(spark, args.input)
+    labeled = read_table(spark, args.labeled) if args.labeled else None
     cfg = PipelineConfig(
         threshold=args.threshold,
         nu=args.nu,
@@ -67,16 +69,30 @@ def cmd_run(args) -> int:
     res = run_pipeline(
         spark, transcripts, cfg, labeled=labeled, checkpoint_dir=args.checkpoint
     )
-    os.makedirs(args.output, exist_ok=True)
-    res.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
-    res.edges.select(
-        "conv_id_a", "conv_id_b", "n_a", "n_b", F.round("twed", 6).alias("twed"),
-        F.round("twed_norm", 6).alias("twed_norm"),
-    ).write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
+    iceberg_out = args.output.startswith("iceberg:")
+    if not iceberg_out:
+        os.makedirs(args.output, exist_ok=True)
+
+    def _dst(name: str) -> str:
+        if iceberg_out:
+            return f"{args.output}_{name}"  # iceberg:cat.db.prefix_name
+        return os.path.join(args.output, name)
+
+    write_table(res.clusters, _dst("clusters"))
+    write_table(
+        res.edges.select(
+            "conv_id_a", "conv_id_b", "n_a", "n_b",
+            F.round("twed", 6).alias("twed"),
+            F.round("twed_norm", 6).alias("twed_norm"),
+        ),
+        _dst("edges"),
+    )
     if args.write_scored:
-        res.scored.write.mode("overwrite").parquet(os.path.join(args.output, "scored"))
+        write_table(res.scored, _dst("scored"))
     run_id = res.metrics["run_id"]
-    with open(os.path.join(args.output, f"metrics_{run_id}.json"), "w") as fh:
+    metrics_dir = args.output if not iceberg_out else (args.checkpoint or ".")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"metrics_{run_id}.json"), "w") as fh:
         json.dump(res.metrics, fh, indent=2, default=str)
     print(json.dumps(res.metrics, default=str))
     return 0
