@@ -238,7 +238,7 @@ def _batch_local_costs(X, L, degree, deg):
     every DP cell (optimization #3 in SURVEY.md §4).
     """
     N, n_max, _ = X.shape
-    out = np.zeros((N, n_max + 1), dtype=np.float64)
+    out = np.zeros((N, n_max + 1), dtype=X.dtype)
     if n_max >= 1:
         out[:, 1] = _pnorm(X[:, 0], degree, deg)
     if n_max >= 2:
@@ -267,7 +267,7 @@ def _match_costs_block(A, B, degree, deg):
         return p
     P, R, dim = A.shape
     C = B.shape[1]
-    p = np.zeros((P, R, C), dtype=np.float64)
+    p = np.zeros((P, R, C), dtype=A.dtype)
     for d in range(dim):
         p += np.abs(A[:, :, None, d] - B[:, None, :, d]) ** deg
     return p
@@ -301,7 +301,8 @@ def _sweep_chunk(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
         t_pen *= nu
         pow1 += t_pen
         del t_pen
-    M = np.zeros((P, R + 1, C + 1), dtype=np.float64)
+    dt = A.dtype
+    M = np.zeros((P, R + 1, C + 1), dtype=dt)
     M[:, 1:, 1:] = pow1
     M[:, 2:, 2:] += pow1[:, :-1, :-1]
     del pow1
@@ -323,12 +324,12 @@ def _sweep_chunk(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
     # Rotating diagonal buffers + one scratch row (no per-diagonal
     # allocations: everything runs through out= into preallocated
     # slices — the linear-memory discipline of src/cuTWED_core.h:210-227).
-    D2 = np.full((P, R + 1), _INF)
-    D1 = np.full((P, R + 1), _INF)
-    D0 = np.full((P, R + 1), _INF)
-    scratch = np.empty((P, R + 1), dtype=np.float64)
+    D2 = np.full((P, R + 1), _INF, dtype=dt)
+    D1 = np.full((P, R + 1), _INF, dtype=dt)
+    D0 = np.full((P, R + 1), _INF, dtype=dt)
+    scratch = np.empty((P, R + 1), dtype=dt)
 
-    res = np.full(P, _INF, dtype=np.float64)
+    res = np.full(P, _INF, dtype=dt)
     final_diag = LA + LB  # result cell (LA, LB) lies on this diagonal
     res[(LA == 0) & (LB == 0)] = 0.0
 
@@ -377,10 +378,11 @@ def _sweep_chunk_streaming(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
         if C >= 2:
             DjB[:, 2:] += nu * (TB[:, 1:] - TB[:, :-1])
 
-    D2 = np.full((P, R + 1), _INF)
-    D1 = np.full((P, R + 1), _INF)
-    D0 = np.full((P, R + 1), _INF)
-    res = np.full(P, _INF, dtype=np.float64)
+    dt = A.dtype
+    D2 = np.full((P, R + 1), _INF, dtype=dt)
+    D1 = np.full((P, R + 1), _INF, dtype=dt)
+    D0 = np.full((P, R + 1), _INF, dtype=dt)
+    res = np.full(P, _INF, dtype=dt)
     final_diag = LA + LB
     res[(LA == 0) & (LB == 0)] = 0.0
 
@@ -466,6 +468,23 @@ def twed_pairs(
     if deg == 0:
         raise ValueError("degree must be nonzero")
 
+    # Dtype dispatch (the reference's twed/twedf macro twins,
+    # src/cuTWED.cu:120-158): float32 batches compute in float32
+    # (~1.5-2x faster, ~1e-5 relative error), anything else in float64.
+    dt = (
+        np.float32
+        if A_pad.dtype == np.float32 and B_pad.dtype == np.float32
+        else np.float64
+    )
+    if A_pad.dtype != dt:
+        A_pad = A_pad.astype(dt)
+    if B_pad.dtype != dt:
+        B_pad = B_pad.astype(dt)
+    if TA_pad.dtype != dt:
+        TA_pad = TA_pad.astype(dt)
+    if TB_pad.dtype != dt:
+        TB_pad = TB_pad.astype(dt)
+
     # Length-sorted processing: pairs are ordered by DP extent so each
     # chunk's padded plane is trimmed to ITS longest member instead of
     # the global max — the batch-amortization idea of the reference
@@ -475,7 +494,7 @@ def twed_pairs(
     la = LA[idxA]
     lb = LB[idxB]
     order = np.argsort(np.maximum(la, lb), kind="stable")
-    out = np.empty(P, dtype=np.float64)
+    out = np.empty(P, dtype=dt)
 
     s = 0
     while s < P:
@@ -521,10 +540,15 @@ def twed(A, TA, B, TB, nu: float, lamb: float, degree: int = 2) -> float:
     (``cuTWED/cuTWED.py:37-88``): 1-D inputs auto-reshaped to (n, 1),
     lengths validated, float64 math, negative result impossible.
     """
-    A_pad, LA = _pad_stack([A], np.float64)
-    B_pad, LB = _pad_stack([B], np.float64)
-    TA_pad = _pad_times([TA], LA, np.float64)
-    TB_pad = _pad_times([TB], LB, np.float64)
+    dt = (
+        np.float32
+        if np.asarray(A).dtype == np.float32 and np.asarray(B).dtype == np.float32
+        else np.float64
+    )
+    A_pad, LA = _pad_stack([A], dt)
+    B_pad, LB = _pad_stack([B], dt)
+    TA_pad = _pad_times([TA], LA, dt)
+    TB_pad = _pad_times([TB], LB, dt)
     z = np.zeros(1, dtype=np.int64)
     return float(
         twed_pairs(A_pad, TA_pad, LA, z, B_pad, TB_pad, LB, z, nu, lamb, degree)[0]
@@ -568,12 +592,17 @@ def twed_batch(AA, TAA, BB, TBB, nu: float, lamb: float, degree: int = 2, tri="n
     if tri != "nopt" and (AA.shape != BB.shape):
         raise ValueError("tri='tril'/'triu' requires a symmetric batch (AA.shape == BB.shape)")
 
-    A_pad = AA.astype(np.float64, copy=False)
-    B_pad = BB.astype(np.float64, copy=False)
+    dt = (
+        np.float32
+        if AA.dtype == np.float32 and BB.dtype == np.float32
+        else np.float64
+    )
+    A_pad = AA.astype(dt, copy=False)
+    B_pad = BB.astype(dt, copy=False)
     LA = np.full(nAA, nA, dtype=np.int64)
     LB = np.full(nBB, nB, dtype=np.int64)
 
-    res = np.zeros((nAA, nBB), dtype=np.float64)
+    res = np.zeros((nAA, nBB), dtype=dt)
     if tri == "nopt":
         ia, ib = np.meshgrid(np.arange(nAA), np.arange(nBB), indexing="ij")
         ia, ib = ia.ravel(), ib.ravel()

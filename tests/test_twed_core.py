@@ -297,3 +297,29 @@ def test_synthetic_control_submatrix_vs_oracle():
             assert abs(D[i, j] - want) <= 1e-9 * max(1.0, want), (i, j)
     assert np.allclose(np.diag(D), 0.0, atol=1e-8)
     assert np.allclose(D, D.T, atol=1e-8)
+
+
+def test_float32_compute_mode():
+    """The twedf twin (src/cuTWED.cu:120-158): uniform float32 inputs
+    compute in float32 and agree with float64 to single precision;
+    float64 stays the default for anything mixed."""
+    A, TA, B, TB = sine_fixture(10)
+    d64 = twed(A, TA, B, TB, NU, LAMB, DEG)
+    d32 = twed(
+        A.astype(np.float32), TA.astype(np.float32),
+        B.astype(np.float32), TB.astype(np.float32),
+        NU, LAMB, DEG,
+    )
+    assert np.allclose(d32, d64, rtol=1e-5)
+    AA = np.tile(A, (6, 1)).astype(np.float32)
+    TAA = np.tile(TA, (6, 1)).astype(np.float32)
+    BB = np.tile(B, (6, 1)).astype(np.float32)
+    TBB = np.tile(TB, (6, 1)).astype(np.float32)
+    D32 = twed_batch(AA, TAA, BB, TBB, NU, LAMB, DEG)
+    assert D32.dtype == np.float32
+    assert np.allclose(D32, d64, rtol=1e-5)
+    # mixed dtypes fall back to float64 compute (A's values were already
+    # rounded by the float32 cast, so agreement is single-precision)
+    dmix = twed(A.astype(np.float32), TA, B, TB, NU, LAMB, DEG)
+    assert isinstance(dmix, float)
+    assert np.allclose(dmix, d64, rtol=1e-6)
