@@ -58,8 +58,16 @@ def assemble_series(
         # FLAT (n_turns * dim) value buffer — the reference's dense
         # C-ordered layout (README.rst:40-42). One list level fewer
         # halves Arrow offset overhead on the scoring hot path; reshape
-        # is free NumPy inside the UDF.
-        F.flatten(F.transform(turns, lambda s: s["feat"])).alias("values_flat"),
+        # is free NumPy inside the UDF. Stored as float32: every feature
+        # is a small count/ratio (24-bit mantissa exact for the counts,
+        # ~1e-7 relative on the ratios), which halves state size and
+        # scoring shuffle/transfer bytes; the scoring UDF upcasts to
+        # float64 before the DP, so scores stay oracle-exact for these
+        # stored values. Times stay float64 (sub-second precision over
+        # long conversations).
+        F.flatten(F.transform(turns, lambda s: s["feat"]))
+        .cast("array<float>")
+        .alias("values_flat"),
         F.transform(turns, lambda s: s["t"] - t0).alias("times"),
         F.transform(turns, lambda s: s["text_hash"]).alias("text_hashes"),
         F.concat_ws(
