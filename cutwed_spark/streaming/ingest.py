@@ -14,7 +14,12 @@ with ``readStream`` and resolves them incrementally via
                  -> append scored edges + new state
 
 Invariant: a conversation's turns arrive within one file/microbatch
-(conversation-complete ingestion). Clustering stays a batch job over the
+(conversation-complete ingestion). For streams whose conversations SPAN
+microbatches, compose with ``cutwed_spark.streaming.state.
+accumulate_conversations`` (applyInPandasWithState + event-time
+timeout) upstream: it emits completed conversations, and
+``conversations_to_turns`` restores the transcript layout this module
+expects. Clustering stays a batch job over the
 accumulated edges (``finalize``) — connected components is iterative
 and belongs outside the stream.
 
