@@ -87,7 +87,7 @@ def run_pipeline_bench(n_cores: int) -> dict:
     (best-of runs de-noise the shared host)."""
     import time as _time
 
-    from cutwed_spark.operators.scoring import score_candidates
+    from cutwed_spark.operators.scoring import score_candidates_cogrouped
     from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
     from cutwed_spark.session import get_spark
 
@@ -115,7 +115,7 @@ def run_pipeline_bench(n_cores: int) -> dict:
     score_times = [res.metrics["stages"]["score"]]
     for _ in range(2):
         t1 = _time.monotonic()
-        score_candidates(
+        score_candidates_cogrouped(
             res.candidate_pairs,
             res.series,
             dim=cfg.dim,
@@ -143,6 +143,31 @@ def run_pipeline_bench(n_cores: int) -> dict:
     return out
 
 
+def _kernel_worker(seed: int, pairs_per_worker: int, q) -> None:
+    # Runs in a SPAWNED process: numpy is not yet imported here, so the
+    # single-thread BLAS pins actually take effect (under fork the
+    # parent's already-initialized BLAS pools would ignore them).
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
+    import numpy as np
+
+    from cutwed_spark.twed.core import twed_pairs
+
+    rng = np.random.RandomState(seed)
+    n_series = 4000
+    lens = np.minimum(rng.geometric(TURN_P, n_series), 64).astype(np.int64)
+    n_max = int(lens.max())
+    V = rng.randn(n_series, n_max, 22)
+    T = np.cumsum(rng.rand(n_series, n_max), axis=1)
+    ia = rng.randint(0, n_series, pairs_per_worker)
+    ib = rng.randint(0, n_series, pairs_per_worker)
+    twed_pairs(V, T, lens, ia[:500], V, T, lens, ib[:500], 0.05, 0.5, 2)
+    t0 = time.monotonic()
+    twed_pairs(V, T, lens, ia, V, T, lens, ib, 0.05, 0.5, 2)
+    q.put((pairs_per_worker, time.monotonic() - t0))
+
+
 def run_kernel_scaling(n_workers: int, pairs_per_worker: int = 40000) -> dict:
     """Pure-kernel scaling: n_workers OS processes, each scoring the
     same synthetic pair workload (geometric lengths matching the bench
@@ -150,31 +175,11 @@ def run_kernel_scaling(n_workers: int, pairs_per_worker: int = 40000) -> dict:
     path that scales out across executors on a real cluster."""
     import multiprocessing as mp
 
-    import numpy as np  # noqa: F401
-
-    def _worker(seed: int, q) -> None:
-        os.environ["OMP_NUM_THREADS"] = "1"
-        os.environ["OPENBLAS_NUM_THREADS"] = "1"
-        import numpy as np
-
-        from cutwed_spark.twed.core import twed_pairs
-
-        rng = np.random.RandomState(seed)
-        n_series = 4000
-        lens = np.minimum(rng.geometric(TURN_P, n_series), 64).astype(np.int64)
-        n_max = int(lens.max())
-        V = rng.randn(n_series, n_max, 22)
-        T = np.cumsum(rng.rand(n_series, n_max), axis=1)
-        ia = rng.randint(0, n_series, pairs_per_worker)
-        ib = rng.randint(0, n_series, pairs_per_worker)
-        twed_pairs(V, T, lens, ia[:500], V, T, lens, ib[:500], 0.05, 0.5, 2)
-        t0 = time.monotonic()
-        twed_pairs(V, T, lens, ia, V, T, lens, ib, 0.05, 0.5, 2)
-        q.put((pairs_per_worker, time.monotonic() - t0))
-
-    q = mp.Queue()
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
     procs = [
-        mp.Process(target=_worker, args=(42 + i, q)) for i in range(n_workers)
+        ctx.Process(target=_kernel_worker, args=(42 + i, pairs_per_worker, q))
+        for i in range(n_workers)
     ]
     for p in procs:
         p.start()

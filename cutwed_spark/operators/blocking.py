@@ -26,59 +26,99 @@ DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE_K = 3
 DEFAULT_MAX_BLOCK = 64
 
+# Bump when the signature hash family changes (shingle base hash or
+# member derivation): signatures from different families NEVER collide
+# in LSH bands, so persisted state from another version must be rebuilt,
+# not silently unioned (streaming/state.py enforces this).
+# v2 = word-hash-mix shingle base (was v1: string shingles).
+SIGNATURE_FAMILY_VERSION = 2
 
-def conversation_shingles(
-    transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K, dedup: bool = True
-) -> DataFrame:
-    """-> (conv_id, shingle) word-k-gram shingles per conversation.
 
-    Shingles are formed within each turn's text (word k-grams); short
-    turns contribute their whole text as one shingle so no turn is
-    invisible to blocking. ``dedup=False`` skips the distinct (a full
-    shuffle of the exploded shingles) — MIN aggregation for MinHash is
-    duplicate-insensitive, so the minhash path never needs it.
+def word_hash_col(text: str = "text"):
+    """array<bigint>: xxhash64 of each lower-cased whitespace token —
+    every word is hashed exactly ONCE; all shingle/minhash machinery
+    downstream works on these fixed-width bigints."""
+    words = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda w: w != "")
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def shingle_hashes_from_word_hashes(wh, k: int = DEFAULT_SHINGLE_K):
+    """array<bigint> word hashes -> array<bigint> k-gram shingle hashes.
+
+    A shingle's base hash is xxhash64 of its k word hashes — shingle
+    STRINGS are never built (concat_ws + re-hashing the string was a
+    large share of signature cost; hashing k bigints is several times
+    cheaper). Turns shorter than k words contribute one whole-turn
+    hash (a shift-xor fold of their word hashes) so no turn is
+    invisible to blocking; empty turns contribute nothing (empty
+    array), preserving the all-empty-conversation null-signature
+    sentinel downstream.
     """
-    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    shingles = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    out = transcripts.select("conv_id", F.explode(shingles).alias("shingle")).where(
-        F.col("shingle") != ""
+    if k == 1:
+        return wh
+    whole = F.xxhash64(
+        F.aggregate(
+            wh,
+            F.lit(0).cast("bigint"),
+            lambda a, b: F.shiftleft(a, 1).bitwiseXOR(b),
+        )
     )
-    return out.dropDuplicates(["conv_id", "shingle"]) if dedup else out
+    return (
+        F.when(
+            F.size(wh) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wh) - k),
+                lambda i: F.xxhash64(
+                    *[F.element_at(wh, i + j + 1) for j in range(k)]
+                ),
+            ),
+        )
+        .when(F.size(wh) > 0, F.array(whole))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def turn_shingle_hashes(
     transcripts: DataFrame, k: int = DEFAULT_SHINGLE_K
 ) -> DataFrame:
-    """-> (conv_id, shb: array<bigint>) — per-TURN shingle hash arrays.
+    """-> (conv_id, shb: array<bigint>) — per-TURN shingle hash arrays
+    (family v2: word-hash-mix base, see shingle_hashes_from_word_hashes).
 
-    Each shingle string is hashed exactly once (string hashing is the
-    dominant cost of blocking); the k-member hash family downstream
-    re-hashes the fixed-width bigint, which is several times cheaper.
     No explode: the shingle set never becomes rows, so the minhash
     aggregation shuffles 3 orders of magnitude fewer rows at 10^12-turn
     scale (turns, not turn x shingle x hash).
     """
-    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    shingles = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    shb = F.transform(
-        F.filter(shingles, lambda s: s != ""), lambda s: F.xxhash64(s)
+    return transcripts.select(
+        "conv_id", shingle_hashes_from_word_hashes(word_hash_col(), k).alias("shb")
     )
-    return transcripts.select("conv_id", shb.alias("shb"))
 
 
 _LONG_MAX = (1 << 63) - 1
+
+
+def per_turn_member_mins(shb, num_hashes: int, prefix: str = "m") -> list:
+    """num_hashes per-turn partial-min columns over an array<bigint> of
+    shingle base hashes. Family member i of base hash b is
+    xxhash64(b, i) (bigint re-hash — an independent family, cheap on
+    fixed width). An empty array folds to the _LONG_MAX sentinel."""
+
+    def _merge(i):
+        return lambda acc, b: F.least(acc, F.xxhash64(b, F.lit(i)))
+
+    return [
+        F.aggregate(shb, F.lit(_LONG_MAX), _merge(i)).alias(f"{prefix}{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def signature_from_mins(prefix: str, num_hashes: int):
+    """min-of-per-turn-mins columns h{i} -> nullable sig array column.
+    A conversation whose every turn is empty has no shingles at all;
+    its sentinel-only signature would LSH-collide with every other
+    empty conversation — exactly the non-discriminative block the size
+    cap would drop anyway, so null it out here."""
+    sig = F.array(*[F.col(f"{prefix}{i}") for i in range(num_hashes)])
+    return F.when(sig[0] == F.lit(_LONG_MAX), F.lit(None)).otherwise(sig)
 
 
 def minhash_from_hashes(
@@ -86,51 +126,17 @@ def minhash_from_hashes(
 ) -> DataFrame:
     """(conv_id, shb) per turn -> (conv_id, sig: array<bigint>).
 
-    Family member i of a shingle with base hash b is xxhash64(b, i)
-    (bigint re-hash — an independent family, cheap on fixed width).
     Per-turn partial mins fold through an ordinary min() aggregate, so
     Catalyst's map-side partial aggregation applies and the shuffle
     carries num_hashes bigints per turn-group, never shingle rows.
     """
-    def _merge(i):
-        return lambda acc, b: F.least(acc, F.xxhash64(b, F.lit(i)))
-
-    per_turn = [
-        F.aggregate(F.col("shb"), F.lit(_LONG_MAX), _merge(i)).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
+    per_turn = per_turn_member_mins(F.col("shb"), num_hashes)
     agg = (
         turn_hashes.select("conv_id", *per_turn)
         .groupBy("conv_id")
         .agg(*[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)])
     )
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    # A conversation whose every turn is empty text has no shingles at
-    # all; its sentinel-only signature would LSH-collide with every
-    # other empty conversation — that is exactly the non-discriminative
-    # block the size cap would drop anyway, so null it out here.
-    return agg.select(
-        "conv_id",
-        F.when(sig[0] == F.lit(_LONG_MAX), F.lit(None)).otherwise(sig).alias("sig"),
-    )
-
-
-def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
-) -> DataFrame:
-    """-> (conv_id, sig: array<bigint>) — one pass, k min-aggregates.
-
-    Seed variation via xxhash64(shingle, seed_i) (extra hashed column =
-    an independent hash family member). Partial/final agg is automatic.
-    """
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = shingles.groupBy("conv_id").agg(*mins)
-    return agg.select(
-        "conv_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return agg.select("conv_id", signature_from_mins("h", num_hashes).alias("sig"))
 
 
 def lsh_block_keys(
@@ -213,9 +219,13 @@ def prune_oversized_blocks(
             ).otherwise(0)
         ).cast("long").alias("est_candidate_pairs"),
     )
-    keep_keys = sized.where(F.col("block_size") <= max_block).select("block_key")
-    # keep_keys is small relative to blocks; broadcast when it fits.
-    kept = blocks.join(F.broadcast(keep_keys), "block_key")
+    # Drop-side anti-join on the OVERSIZED keys instead of keep-side
+    # equi-join: the dropped-key set is bounded by the skew tail (tiny),
+    # while keep_keys is one row per kept block — unbounded at corpus
+    # scale, so it must never be force-broadcast. No broadcast hint
+    # either way: AQE broadcasts drop_keys when its runtime size fits.
+    drop_keys = sized.where(F.col("block_size") > max_block).select("block_key")
+    kept = blocks.join(drop_keys, "block_key", "left_anti")
     return kept, stats
 
 
@@ -252,25 +262,39 @@ def with_signatures(
     Persisting these alongside the series makes blocking derivable from
     state alone: the streaming/incremental path never re-reads old
     transcripts, and the batch path computes each signature exactly once.
+
+    ONE aggregation tree: words are hashed once per turn; k-gram and
+    word-level member mins fold in the same projection and aggregate in
+    the same groupBy (k-gram + word mins together), so the transcripts
+    are scanned once and there is a single join onto series. The
+    word-level signature is computed for every conversation but kept
+    only for short ones (< short_conv_turns): word vocabularies collide
+    heavily across same-domain conversations, so the word axis is a
+    recall aid for conversations whose k-gram shingle sets are too
+    small to survive banding — for long conversations it would only
+    create non-discriminative mega-blocks.
     """
-    sh = turn_shingle_hashes(transcripts, shingle_k)
-    sig = minhash_from_hashes(sh, num_hashes)
-    # Short-conversation ids from a plain turn count on transcripts —
-    # NOT from ``series`` (series is usually an unpersisted plan here,
-    # and filtering it would re-run the whole featurize+collect subtree
-    # just to read n_turns). The count agg reuses the conv_id
-    # partitioning: no extra shuffle.
-    short_ids = (
-        transcripts.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") < F.lit(short_conv_turns))
-        .select("conv_id")
+    wh = word_hash_col()
+    shb = shingle_hashes_from_word_hashes(wh, shingle_k)
+    per_turn = transcripts.select(
+        "conv_id",
+        *per_turn_member_mins(shb, num_hashes, "m"),
+        *per_turn_member_mins(wh, word_num_hashes, "w"),
     )
-    words = turn_shingle_hashes(transcripts.join(short_ids, "conv_id"), 1)
-    wsig = minhash_from_hashes(words, word_num_hashes).withColumnRenamed(
-        "sig", "wsig"
+    agg = per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_n_turns_raw"),
+        *[F.min(f"m{i}").alias(f"hm{i}") for i in range(num_hashes)],
+        *[F.min(f"w{i}").alias(f"hw{i}") for i in range(word_num_hashes)],
     )
-    return series.join(sig, "conv_id", "left").join(wsig, "conv_id", "left")
+    sigs = agg.select(
+        "conv_id",
+        signature_from_mins("hm", num_hashes).alias("sig"),
+        F.when(
+            F.col("_n_turns_raw") < F.lit(short_conv_turns),
+            signature_from_mins("hw", word_num_hashes),
+        ).alias("wsig"),
+    )
+    return series.join(sigs, "conv_id", "left")
 
 
 def block_keys_from_state(
@@ -321,42 +345,3 @@ def build_candidate_pairs_from_state(
     return candidate_pairs(kept), stats
 
 
-def build_candidate_pairs(
-    transcripts: DataFrame,
-    series: DataFrame,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    band_size: int = DEFAULT_BAND_SIZE,
-    shingle_k: int = DEFAULT_SHINGLE_K,
-    max_block: int = DEFAULT_MAX_BLOCK,
-    short_conv_turns: int = 8,
-) -> tuple[DataFrame, DataFrame]:
-    """Full blocking stage -> (pairs, block_stats)."""
-    sh = conversation_shingles(transcripts, shingle_k, dedup=False)
-    sig = minhash_signatures(sh, num_hashes)
-    lsh = lsh_block_keys(sig, band_size, num_hashes)
-    # Fourth axis: word-level (k=1) minhash with single-row bands, for
-    # SHORT conversations only — their k-gram shingle sets are too small
-    # to survive banding after heavy edits. Word-level hashing collides
-    # heavily (same-domain conversations share vocabulary), so gating it
-    # on conversation length bounds the candidate blow-up to
-    # short-x-short pairs; the block-size cap and scoring handle those.
-    short_ids = series.where(F.col("n_turns") < F.lit(short_conv_turns)).select(
-        "conv_id"
-    )
-    # plain join (AQE picks the strategy): short_ids can itself be huge
-    # at 10^12-turn scale, so no forced broadcast here
-    words = conversation_shingles(
-        transcripts.join(short_ids, "conv_id"), 1, dedup=False
-    )
-    wsig = minhash_signatures(words, 8)
-    wlsh = lsh_block_keys(wsig, 1, 8).withColumn(
-        "block_key", F.xxhash64(F.lit("wordmh"), F.col("block_key"))
-    )
-    blocks = (
-        lsh.unionByName(wlsh)
-        .unionByName(tool_sig_block_keys(series))
-        .unionByName(turn_text_block_keys(transcripts))
-        .persist()  # read by the size profile AND the candidate join
-    )
-    kept, stats = prune_oversized_blocks(blocks, max_block)
-    return candidate_pairs(kept), stats

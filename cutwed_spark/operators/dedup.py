@@ -64,9 +64,12 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 def _rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles appearing in more than max_df docs (deterministic
     document-frequency cut — the anti-skew guard)."""
+    # No forced broadcast: the <=max_df shingle set is unbounded (it
+    # grows with the corpus — billions of rows at 100 TB). Plain equi-
+    # join lets AQE pick broadcast only when the runtime size fits.
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return sh.join(
-        F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
+        df_counts.where(F.col("df") <= max_df).select("shingle"),
         "shingle",
     )
 
@@ -172,26 +175,30 @@ def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
     return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame, bits: int = 16, max_hamming: int = 2
+def simhash_pairs_from_hashes(
+    sim: DataFrame, bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
-    Self-join is banded on half-width prefixes (a hamming-<=2 pair must
-    agree on at least one half), so it is not a Cartesian join.
-    Output: (doc_id_a, doc_id_b, hamming)."""
-    sim = simhash_docs(docs, bits)
-    half = bits // 2
-    lo = (F.col("simhash") % F.lit(2**half)).alias("lo")
-    hi = (F.col("simhash") / F.lit(2**half)).cast("bigint").alias("hi")
+    """Near-dup pairs from a (doc_id, simhash) table by hamming distance
+    <= max_hamming. Banded self-join, never Cartesian: the hash is cut
+    into ``max_hamming + 1`` contiguous bit-slices, so by pigeonhole any
+    pair within max_hamming bit errors agrees exactly on >= 1 slice
+    (max_hamming errors cannot touch all max_hamming+1 slices). Fewer
+    slices would silently lose recall: 2 errors split 1-per-half match
+    neither of 2 halves. Output: (doc_id_a, doc_id_b, hamming)."""
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil
+    slices = []
+    for j in range(n_bands):
+        start = j * width
+        w = min(width, bits - start)
+        if w <= 0:
+            break
+        val = F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << w) - 1))
+        slices.append(F.concat_ws(":", F.lit(str(j)), val.cast("string")))
     keyed = sim.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                F.concat_ws(":", F.lit("lo"), lo.cast("string")),
-                F.concat_ws(":", F.lit("hi"), hi.cast("string")),
-            )
-        ).alias("band"),
+        F.explode(F.array(*slices)).alias("band"),
     )
     pairs = (
         keyed.alias("l")
@@ -207,3 +214,12 @@ def simhash_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    simhash_docs + banded join (see simhash_pairs_from_hashes for the
+    pigeonhole guarantee). Output: (doc_id_a, doc_id_b, hamming)."""
+    return simhash_pairs_from_hashes(simhash_docs(docs, bits), bits, max_hamming)

@@ -181,12 +181,15 @@ def score_candidates(
     transfer_dtype: str = "double",
 ) -> DataFrame:
     """Candidate pairs -> scored edges (conv_id_a, conv_id_b, n_a, n_b,
-    twed, twed_norm).
+    twed, twed_norm) via per-pair join + mapInArrow.
 
+    The pipeline DEFAULT is ``score_candidates_cogrouped`` (each series
+    ships once per partition, not once per pair); this per-pair-join
+    variant remains for comparison/debug and as the only path honoring
+    ``salt`` (opt-in salted repartition for hot-key skew AQE cannot
+    split; costs an extra shuffle of the array payload).
     ``twed_norm = twed / (n_a + n_b)`` is the length-normalized score the
     thresholding stage uses (raw TWED grows with series length).
-    ``salt`` (opt-in) forces a salted repartition for hot-key skew that
-    AQE cannot split; it costs an extra shuffle of the array payload.
     """
     joined = attach_series(pairs, series, time_scale, transfer_dtype)
     if salt:

@@ -67,7 +67,9 @@ def cosine_pairs(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id") -> DataFrame:
+def cosine_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", max_rows: int = 2_000_000
+) -> DataFrame:
     """Brute-force top-k neighbors per vector. Deterministic tiebreak on
     (cos desc, neighbor id). Output: (vec_id, neighbor_id, cos, rank).
 
@@ -79,9 +81,14 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id") -> DataFrame
     shape the reference uses for its batch kernel (one side resident,
     sweep the other; /root/reference/src/cuTWED_core.h:574-620).
 
-    This is the EXACTNESS BASELINE: the broadcast matrix bounds it to
-    corpora that fit executor memory (n*dim*8 bytes; ~0.5 GB at 1M x 64).
-    Beyond that use lsh_cosine_topk (bucketed) — the scale path.
+    This is the EXACTNESS BASELINE, not the default top-k API (that is
+    ``topk_neighbors``, which routes to the bucketed LSH path). It
+    EAGERLY COLLECTS the whole embedding table to the DRIVER
+    (``toPandas`` at plan-construction time) and broadcasts the
+    normalized matrix to every task, so it is bounded to corpora that
+    fit driver+executor memory (n*dim*8 bytes; ~0.5 GB at 1M x 64).
+    ``max_rows`` guards that: the call refuses (ValueError) above the
+    limit instead of silently OOMing the driver at scale.
     """
     from collections.abc import Iterator
 
@@ -91,6 +98,17 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id") -> DataFrame
     spark = emb.sparkSession
     id_type = emb.schema[id_col].dataType.simpleString()
     e = with_double_embedding(emb).select(F.col(id_col), "embedding")
+    n_rows = e.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_topk is the exactness baseline and driver-collects the "
+            f"embedding table ({n_rows} rows > max_rows={max_rows}); use "
+            f"topk_neighbors/lsh_cosine_topk (bucketed) at scale, or raise "
+            f"max_rows explicitly if the table truly fits driver memory"
+        )
+    out_schema = f"{id_col} {id_type}, neighbor_id {id_type}, cos double, rank int"
+    if n_rows == 0:
+        return spark.createDataFrame([], out_schema)
     pdf = e.toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.stack(pdf["embedding"].to_list()).astype(np.float64)
@@ -141,9 +159,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id") -> DataFrame
                 }
             )
 
-    return e.select(F.col(id_col), "embedding").mapInPandas(
-        fn, f"{id_col} {id_type}, neighbor_id {id_type}, cos double, rank int"
-    )
+    return e.select(F.col(id_col), "embedding").mapInPandas(fn, out_schema)
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -175,22 +191,72 @@ def lsh_bucket_ids(
     return e.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def suggest_n_planes(n_rows: int, target_bucket: int = 256) -> int:
+    """Bucket count must GROW with n: expected bucket size is
+    n / 2^n_planes, and each bucket self-joins (O(sum bucket^2) pairs).
+    Returns the smallest n_planes whose expected bucket size is at most
+    ``target_bucket``, clamped to [4, 30]."""
+    import math
+
+    p = math.ceil(math.log2(max(n_rows, 1) / max(target_bucket, 1)))
+    return int(min(max(p, 4), 30))
+
+
+def lsh_bucket_stats(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row profile of an LSH bucketing (mirrors
+    blocking.prune_oversized_blocks' cap-and-report contract):
+    (n_buckets, n_dropped_buckets, max_bucket_size, est_candidate_pairs)."""
+    sized = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.max("bucket_size").alias("max_bucket_size"),
+        F.sum(
+            F.when(
+                F.col("bucket_size") <= max_bucket,
+                F.col("bucket_size") * (F.col("bucket_size") - 1),
+            ).otherwise(0)
+        ).cast("long").alias("est_candidate_pairs"),
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 8,
     id_col: str = "vec_id",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """ANN: bucket by LSH, exact cosine re-rank within buckets.
     Output: (vec_id, neighbor_id, cos, rank). Recall < 1 by design
-    (the scale path); compare against cosine_topk for quality."""
+    (the scale path); compare against cosine_topk for quality.
+
+    Size ``n_planes`` with ``suggest_n_planes(n)`` — a fixed bucket
+    count gives O(n^2 / 2^n_planes) bucket self-joins as n grows.
+    Buckets above ``max_bucket`` rows (hash-collision pile-ups /
+    degenerate embeddings) are dropped before the self-join — the same
+    cap-and-report treatment blocking applies to LSH blocks; profile
+    the drop with ``lsh_bucket_stats`` on ``lsh_bucket_ids`` output.
+    Vectors in a dropped bucket get no neighbors from that bucket
+    (recall cost, surfaced, never a 2^2*max_bucket^2 pair explosion).
+    """
     from pyspark.sql.window import Window
 
     e = with_double_embedding(emb).select(
         F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    bucketed = e.join(lsh_bucket_ids(emb, dim, n_planes, id_col), id_col)
+    ids = lsh_bucket_ids(emb, dim, n_planes, id_col)
+    oversized = (
+        ids.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+        .select("bucket")
+    )
+    ids = ids.join(oversized, "bucket", "left_anti")
+    bucketed = e.join(ids, id_col)
     a = bucketed.select(
         F.col("bucket"),
         F.col(id_col).alias("vec_id"),
@@ -221,6 +287,28 @@ def lsh_cosine_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def topk_neighbors(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    target_bucket: int = 256,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """DEFAULT top-k neighbor API — the one to grab for "top-k
+    neighbors". Routes to the bucketed LSH path (scale-safe: no driver
+    collect, no all-pairs join) with n_planes auto-sized to the corpus
+    via ``suggest_n_planes`` unless given. For exact results on small
+    calibration sets call ``cosine_topk`` explicitly (guarded by
+    max_rows)."""
+    if n_planes is None:
+        n_planes = suggest_n_planes(emb.count(), target_bucket)
+    return lsh_cosine_topk(
+        emb, dim, k=k, n_planes=n_planes, id_col=id_col, max_bucket=max_bucket
     )
 
 

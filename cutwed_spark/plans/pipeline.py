@@ -24,14 +24,14 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cutwed_spark.operators.assemble import assemble_series, assembly_stats
-from cutwed_spark.operators.blocking import (
-    build_candidate_pairs_from_state,
-    with_signatures,
-)
+from cutwed_spark.operators.assemble import assemble_with_signatures, assembly_stats
+from cutwed_spark.operators.blocking import build_candidate_pairs_from_state
 from cutwed_spark.operators.clustering import assign_clusters
 from cutwed_spark.operators.featurize import feature_dim
-from cutwed_spark.operators.scoring import score_candidates
+from cutwed_spark.operators.scoring import (
+    score_candidates,
+    score_candidates_cogrouped,
+)
 
 
 @dataclass
@@ -66,6 +66,11 @@ class PipelineConfig:
     salt: int | None = None
     num_partitions: int | None = None
     transfer_dtype: str = "double"  # 'float' halves Arrow bytes (twedf twin)
+    # 'cogrouped' (default) ships each series once per partition via a
+    # cogrouped applyInArrow — at hot-conversation skew strictly less
+    # Arrow volume than 'joined' (per-pair series duplication), which
+    # remains for comparison/debug (and is the only path honoring salt).
+    scoring_path: str = "cogrouped"
 
     @property
     def dim(self) -> int:
@@ -183,16 +188,14 @@ def run_pipeline(
     with stage("assemble"):
         # series + blocking signatures = the STATE table (one row per
         # conversation); everything downstream derives from it, which is
-        # what makes the incremental/streaming path possible.
-        series = with_signatures(
+        # what makes the incremental/streaming path possible. One
+        # aggregation tree: single scan, single shuffle, zero joins.
+        series = assemble_with_signatures(
             transcripts,
-            assemble_series(
-                transcripts,
-                cfg.n_buckets,
-                cfg.max_turns,
-                bucket_scale=cfg.bucket_scale,
-                role_scale=cfg.role_scale,
-            ),
+            cfg.n_buckets,
+            cfg.max_turns,
+            bucket_scale=cfg.bucket_scale,
+            role_scale=cfg.role_scale,
             num_hashes=cfg.num_hashes,
             shingle_k=cfg.shingle_k,
         ).persist()
@@ -227,18 +230,31 @@ def run_pipeline(
             )
 
     with stage("score"):
-        scored_new = score_candidates(
-            pairs,
-            series,
-            dim=cfg.dim,
-            nu=cfg.nu,
-            lamb=cfg.lamb,
-            degree=cfg.degree,
-            num_partitions=cfg.num_partitions,
-            salt=cfg.salt,
-            time_scale=cfg.time_scale,
-            transfer_dtype=cfg.transfer_dtype,
-        )
+        if cfg.scoring_path == "cogrouped":
+            scored_new = score_candidates_cogrouped(
+                pairs,
+                series,
+                dim=cfg.dim,
+                nu=cfg.nu,
+                lamb=cfg.lamb,
+                degree=cfg.degree,
+                num_partitions=cfg.num_partitions,
+                time_scale=cfg.time_scale,
+                transfer_dtype=cfg.transfer_dtype,
+            )
+        else:
+            scored_new = score_candidates(
+                pairs,
+                series,
+                dim=cfg.dim,
+                nu=cfg.nu,
+                lamb=cfg.lamb,
+                degree=cfg.degree,
+                num_partitions=cfg.num_partitions,
+                salt=cfg.salt,
+                time_scale=cfg.time_scale,
+                transfer_dtype=cfg.transfer_dtype,
+            )
         if ckpt:
             scored_new.write.mode("append").parquet(ckpt)
             scored = spark.read.parquet(ckpt).dropDuplicates(

@@ -9,7 +9,7 @@ with ``readStream`` and resolves them incrementally via
                  -> block them against the accumulated state table
                     (signatures stored with the series: old transcripts
                     are never re-read — the point of
-                    blocking.with_signatures)
+                    assemble.assemble_with_signatures)
                  -> score only pairs touching a new conversation
                  -> append scored edges + new state
 
@@ -30,25 +30,30 @@ generation anti-joins pairs already scored.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cutwed_spark.operators.assemble import assemble_series
+from cutwed_spark.operators.assemble import assemble_with_signatures
 from cutwed_spark.operators.blocking import (
+    SIGNATURE_FAMILY_VERSION,
     block_keys_from_state,
     prune_oversized_blocks,
-    with_signatures,
 )
 from cutwed_spark.operators.clustering import assign_clusters
-from cutwed_spark.operators.scoring import score_candidates
+from cutwed_spark.operators.scoring import score_candidates_cogrouped
 from cutwed_spark.plans.pipeline import PipelineConfig
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+# Bump state_format when the persisted state table's physical schema
+# changes (e.g. values_flat float64 -> float32).
+STATE_FORMAT_VERSION = 2
 
 
 def _paths(work_dir: str) -> dict:
@@ -59,23 +64,78 @@ def _paths(work_dir: str) -> dict:
     }
 
 
+def _state_version_marker(state_dir: str) -> str:
+    # underscore-prefixed files are invisible to Spark's parquet listing
+    return os.path.join(state_dir, "_state_version.json")
+
+
+def check_state_version(state_dir: str) -> None:
+    """Refuse to mix incompatible persisted state.
+
+    Signatures from different hash families NEVER collide in LSH bands
+    — unioning old-family state rows with new-family batches would
+    silently miss every old-vs-new duplicate — and mixed
+    float64/float32 ``values_flat`` files make the directory unreadable
+    on append. Raises ValueError on mismatch (rebuild the state dir by
+    re-ingesting); writes the marker for a fresh/unmarked dir.
+    """
+    if not os.path.isdir(state_dir):
+        return
+    current = {
+        "signature_family_version": SIGNATURE_FAMILY_VERSION,
+        "state_format": STATE_FORMAT_VERSION,
+    }
+    marker = _state_version_marker(state_dir)
+    has_parquet = any(f.endswith(".parquet") for f in os.listdir(state_dir))
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            found = json.load(fh)
+        if found != current:
+            raise ValueError(
+                f"incremental state at {state_dir} was written by version "
+                f"{found}, engine is {current}: old-family signatures never "
+                f"band-collide with new ones (silently missed duplicates). "
+                f"Rebuild the state dir by re-ingesting from the source "
+                f"transcripts."
+            )
+    elif has_parquet:
+        raise ValueError(
+            f"incremental state at {state_dir} predates state versioning "
+            f"(no _state_version.json); rebuild it by re-ingesting."
+        )
+    else:
+        with open(marker, "w") as fh:
+            json.dump(current, fh)
+
+
+def _write_state_marker(state_dir: str) -> None:
+    marker = _state_version_marker(state_dir)
+    if not os.path.isfile(marker):
+        with open(marker, "w") as fh:
+            json.dump(
+                {
+                    "signature_family_version": SIGNATURE_FAMILY_VERSION,
+                    "state_format": STATE_FORMAT_VERSION,
+                },
+                fh,
+            )
+
+
 def _incremental_batch(
     spark: SparkSession, batch_df: DataFrame, cfg: PipelineConfig, p: dict
 ) -> None:
-    new_state = with_signatures(
+    new_state = assemble_with_signatures(
         batch_df,
-        assemble_series(
-            batch_df,
-            cfg.n_buckets,
-            cfg.max_turns,
-            bucket_scale=cfg.bucket_scale,
-            role_scale=cfg.role_scale,
-        ),
+        cfg.n_buckets,
+        cfg.max_turns,
+        bucket_scale=cfg.bucket_scale,
+        role_scale=cfg.role_scale,
         num_hashes=cfg.num_hashes,
         shingle_k=cfg.shingle_k,
     ).persist()
     if new_state.isEmpty():
         return
+    check_state_version(p["state"])
     have_state = os.path.isdir(p["state"])
     full = (
         spark.read.parquet(p["state"]).unionByName(new_state)
@@ -103,7 +163,7 @@ def _incremental_batch(
         prior = spark.read.parquet(p["scored"]).select("conv_id_a", "conv_id_b")
         cand = cand.join(prior, ["conv_id_a", "conv_id_b"], "left_anti")
 
-    scored = score_candidates(
+    scored = score_candidates_cogrouped(
         cand,
         full,
         dim=cfg.dim,
@@ -115,6 +175,7 @@ def _incremental_batch(
     )
     scored.write.mode("append").parquet(p["scored"])
     new_state.write.mode("append").parquet(p["state"])
+    _write_state_marker(p["state"])
     new_state.unpersist()
     blocks.unpersist()
 

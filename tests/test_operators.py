@@ -12,6 +12,7 @@ from cutwed_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_docs,
     simhash_pairs,
+    simhash_pairs_from_hashes,
 )
 from cutwed_spark.operators.multimodal import (
     decode_media,
@@ -83,6 +84,30 @@ def test_simhash_distance(docs, spark):
     assert pairs[(0, 1)] == 0
 
 
+def test_simhash_banding_split_errors(spark):
+    """Known-answer banding test: bit errors SPLIT ACROSS HALVES must
+    still collide on >= 1 of the max_hamming+1 slices (the pigeonhole
+    guarantee a 2-half banding violates: 2 errors, 1 per half, match
+    neither half)."""
+    base = 0b1010101010101010  # 16-bit pattern
+    rows = [
+        (0, base),
+        (1, base ^ (1 << 2) ^ (1 << 13)),   # hamming 2, one error per half
+        (2, base ^ (1 << 4) ^ (1 << 5)),    # hamming 2, same slice
+        (3, base ^ (1 << 1) ^ (1 << 7) ^ (1 << 14)),  # hamming 3 vs base
+        (4, base),                           # exact dup of 0
+    ]
+    sim = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_pairs_from_hashes(sim, bits=16, max_hamming=2).collect()
+    }
+    assert got[(0, 1)] == 2  # the pair a 2-half banding silently drops
+    assert got[(0, 2)] == 2
+    assert got[(0, 4)] == 0 and got[(1, 4)] == 2
+    assert (0, 3) not in got  # hamming 3 > max_hamming
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(1)
@@ -130,6 +155,37 @@ def test_lsh_topk_recall(emb):
     # tight clusters: bucketed ANN should recover most exact top-1s
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_lsh_bucket_cap_drops_pathological_bucket(spark):
+    """All-identical embeddings pile into ONE bucket; the cap must drop
+    it (no quadratic self-join) and the stats must surface the drop."""
+    from cutwed_spark.operators.similarity import lsh_bucket_ids, lsh_bucket_stats
+
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = lsh_cosine_topk(df, dim=8, k=3, n_planes=4, max_bucket=10)
+    assert out.count() == 0  # the only bucket is oversized -> dropped
+    stats = lsh_bucket_stats(lsh_bucket_ids(df, dim=8, n_planes=4), max_bucket=10)
+    s = stats.collect()[0]
+    assert s["n_dropped_buckets"] == 1 and s["max_bucket_size"] == 50
+    assert s["est_candidate_pairs"] == 0
+
+
+def test_suggest_n_planes_grows_with_n():
+    from cutwed_spark.operators.similarity import suggest_n_planes
+
+    assert suggest_n_planes(1_000, 256) <= suggest_n_planes(1_000_000, 256)
+    assert suggest_n_planes(10**9, 256) <= 30
+    assert suggest_n_planes(0, 256) >= 4
+
+
+def test_cosine_topk_guard_and_empty(spark, emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_topk(df, k=1, max_rows=10)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert cosine_topk(empty, k=3).count() == 0
 
 
 def test_quality_and_lang(docs):

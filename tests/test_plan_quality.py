@@ -80,6 +80,28 @@ def test_parquet_pushdown_and_pruning(spark, tmp_path):
     assert "b:" not in schema_line and "c:" not in schema_line
 
 
+def test_no_forced_broadcast_on_unbounded_sides(spark, small_corpus):
+    """The rare-shingle list (dedup) and the kept-block-key list
+    (blocking) grow with the corpus — no broadcast HINT may be forced on
+    them (AQE may still choose broadcast at runtime when sizes fit)."""
+    from cutwed_spark.operators.blocking import (
+        prune_oversized_blocks,
+        turn_text_block_keys,
+    )
+    from cutwed_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = small_corpus.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    analyzed = str(
+        ngram_jaccard_pairs(docs)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed, "forced broadcast hint in dedup"
+    kept, _ = prune_oversized_blocks(turn_text_block_keys(small_corpus))
+    analyzed = str(kept._jdf.queryExecution().analyzed().toString())
+    assert "ResolvedHint" not in analyzed, "forced broadcast hint in blocking"
+
+
 def test_events_dim_join_broadcasts(spark, tmp_path):
     """A small dimension side becomes a BroadcastHashJoin."""
     big = spark.range(10_000).select("id", (F.col("id") % 50).alias("k"))
