@@ -18,6 +18,7 @@ across summation orders.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,18 +39,21 @@ TABLES = [
 EMBEDDING_DIM = 64  # driver-provided embeddings table vector width
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+# Weak-keyed on the live session object: a plain id(spark) key can be
+# silently reused by CPython after the session is stopped and collected,
+# which would skip re-registration on the new session.
+_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
     # Memoized per (session, sf_dir): re-reading 10 parquet footers per
     # query call costs more than many of the queries themselves.
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    done = _REGISTERED.setdefault(spark, set())
+    if sf_dir in done:
         return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _REGISTERED.add(key)
+    done.add(sf_dir)
 
 
 def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -656,19 +660,20 @@ def _lsh_buckets_oracle() -> str:
 # ----------------------------------------------------------------------
 
 
-_FLAGSHIP_CACHE: dict[tuple[int, int], object] = {}
+_FLAGSHIP_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _er_flagship(spark, n_conversations: int = 150):
     from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
     from cutwed_spark.sources.synth import synth_corpus
 
-    # Memoized per session: entry(), er_match_edges and er_clusters all
-    # need the same deterministic pipeline run — rerunning it three
-    # times per driver sweep would triple the slowest contract entry.
-    key = (id(spark), n_conversations)
-    if key in _FLAGSHIP_CACHE:
-        return _FLAGSHIP_CACHE[key]
+    # Memoized per live session (weak-keyed — see _REGISTERED): entry(),
+    # er_match_edges and er_clusters all need the same deterministic
+    # pipeline run — rerunning it three times per driver sweep would
+    # triple the slowest contract entry.
+    per_session = _FLAGSHIP_CACHE.setdefault(spark, {})
+    if n_conversations in per_session:
+        return per_session[n_conversations]
     tr, lab = synth_corpus(n_conversations)
     res = run_pipeline(
         spark,
@@ -676,7 +681,7 @@ def _er_flagship(spark, n_conversations: int = 150):
         PipelineConfig(),
         labeled=spark.createDataFrame(lab),
     )
-    _FLAGSHIP_CACHE[key] = res
+    per_session[n_conversations] = res
     return res
 
 
@@ -697,6 +702,38 @@ def _er_match_edges(spark, sf_dir):
 def _er_clusters(spark, sf_dir):
     res = _er_flagship(spark)
     return res.clusters
+
+
+def _er_match_edges_oracle() -> str:
+    """Literal-VALUES oracle: the TWED DP + thresholding output on the
+    deterministic seed-42 corpus is a constant, pinned by
+    cutwed_spark/plans/er_golden.py (regenerated by
+    tools/gen_er_golden.py, drift-guarded by tests/test_er_golden.py) —
+    the reference's seeded-golden-matrix pattern
+    (/root/reference/tests/test_batch.py:34-66) applied to the whole
+    pipeline."""
+    from cutwed_spark.plans.er_golden import ER_MATCH_EDGES_ROWS
+
+    vals = ",\n".join(
+        f"('{a}', '{b}', {na}, {nb}, {tw!r}, {tn!r})"
+        for a, b, na, nb, tw, tn in ER_MATCH_EDGES_ROWS
+    )
+    return f"""
+SELECT conv_id_a, conv_id_b,
+       CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       CAST(twed AS DOUBLE) AS twed, CAST(twed_norm AS DOUBLE) AS twed_norm
+FROM (VALUES {vals}) AS t(conv_id_a, conv_id_b, n_a, n_b, twed, twed_norm)
+"""
+
+
+def _er_clusters_oracle() -> str:
+    from cutwed_spark.plans.er_golden import ER_CLUSTERS_ROWS
+
+    vals = ",\n".join(f"('{c}', '{k}')" for c, k in ER_CLUSTERS_ROWS)
+    return (
+        "SELECT conv_id, cluster_id "
+        f"FROM (VALUES {vals}) AS t(conv_id, cluster_id)"
+    )
 
 
 # ----------------------------------------------------------------------
@@ -856,7 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "mm_feature_stats": _mm_feature_stats,
-        # non-SQL-expressible (TWED kernel + iterative CC): rows-only
+        # TWED kernel + iterative CC: deterministic output pinned by
+        # literal-VALUES golden oracles (er_golden.py)
         "er_match_edges": _er_match_edges,
         "er_clusters": _er_clusters,
     }
@@ -892,8 +930,12 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
         "mm_feature_stats": MM_FEATURE_STATS_ORACLE,
-        # er_match_edges / er_clusters intentionally omitted:
         # TWED DP + iterative connected components are not
-        # SQL-expressible; covered by tests/test_twed_core.py and
-        # tests/test_spark_pipeline.py golden/oracle suites.
+        # SQL-expressible as computations, but their output on the
+        # deterministic seed-42 corpus is a pinned constant
+        # (er_golden.py) — checked as literal-VALUES oracles; the
+        # computation itself is gated by tests/test_twed_core.py,
+        # tests/test_spark_pipeline.py and tests/test_er_golden.py.
+        "er_match_edges": _er_match_edges_oracle(),
+        "er_clusters": _er_clusters_oracle(),
     }
