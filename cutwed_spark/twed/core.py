@@ -436,6 +436,9 @@ def _sweep_chunk_streaming(A, TA, LA, B, TB, LB, nu, lamb, degree, deg):
 _CHUNK_CELLS = 256 * 1024
 # Above this DP-plane size, stream costs per-diagonal instead.
 _STREAM_PLANE = 64 * 1024 * 1024
+# The reference's compiled point-dimension cap (src/cuTWED.cu:38) —
+# advisory here (see twed_pairs docstring), enforced there.
+_DIMENSION_LIMIT = 32
 
 
 def twed_pairs(
@@ -458,7 +461,24 @@ def twed_pairs(
     padding + per-pair length masks (the reference requires equal lengths
     per batch, ``cuTWED/cuTWED.py:167-175``; this generalizes it).
     Gathers per chunk so all-pairs callers never materialize P copies.
+
+    Deliberate generalizations of the reference's contract: mixed-dtype
+    inputs are upcast instead of rejected (``cuTWED/cuTWED.py:66``), and
+    there is no hard ``DIMENSION_LIMIT=32`` (``src/cuTWED.cu:38``) —
+    that limit is the reference's fast-memory (register) contract. The
+    analog here is cache residency of the per-chunk cost planes, so a
+    dim far beyond 32 degrades throughput (never correctness): warn so
+    the caller knows they left the engine's efficiency envelope.
     """
+    if A_pad.shape[2] > 2 * _DIMENSION_LIMIT:
+        import warnings
+
+        warnings.warn(
+            f"dim={A_pad.shape[2]} is far beyond the cache-friendly design "
+            f"point (reference DIMENSION_LIMIT={_DIMENSION_LIMIT}, "
+            f"src/cuTWED.cu:38); throughput will degrade",
+            stacklevel=2,
+        )
     idxA = np.asarray(idxA, dtype=np.int64)
     idxB = np.asarray(idxB, dtype=np.int64)
     P = idxA.shape[0]

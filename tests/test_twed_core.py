@@ -78,6 +78,29 @@ def test_golden_large():
     assert np.allclose(twed(A, TA, B, TB, NU, LAMB, DEG), GOLD_LARGE)
 
 
+@pytest.mark.slow
+def test_streaming_plane_100k_series():
+    """~100k-point series end-to-end through the per-diagonal streaming
+    cost path (the scale regime of the reference's
+    synthetic_index_validation/synthetic_index.py:57-195, whose full
+    UCI series are 100,001 points). The value is a self-pinned
+    regression constant from the deterministic seed-42 generator
+    (nA=100_001 vs nB=10_000 keeps the run ~80 s; the plane,
+    ~1e9 cells, is far beyond the in-memory threshold so the streaming
+    sweep is structurally guaranteed)."""
+    from cutwed_spark.twed.core import _STREAM_PLANE
+
+    rng = RandomState(42)
+    n = 100_001
+    TA = np.arange(n, dtype=np.float64)
+    A = np.sin(TA) + np.sin(TA / 10) + rng.randn(n)
+    m = 10_000
+    TB = np.arange(m, dtype=np.float64)
+    B = np.sin(TB) + np.sin(TB / 10) + rng.randn(m)
+    assert (n + 1) * (m + 1) > _STREAM_PLANE  # streaming path engaged
+    assert np.allclose(twed(A, TA, B, TB, NU, LAMB, DEG), 315407.76173000195)
+
+
 def test_golden_noroot_mode():
     """degree=-2 reproduces Marteau's original no-nth-root results
     (reference_implementation/twed.c:114-119; tests/test_reference.py:33)."""
