@@ -41,6 +41,18 @@ def test_assembly_single_exchange(spark, small_corpus):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_one_pass_assembly_single_exchange(spark, small_corpus):
+    """The merged assembly+signature tree (the pipeline default) must
+    also hold exactly one Exchange — the whole point of folding the
+    signature aggregation into the assembly groupBy."""
+    from cutwed_spark.operators.assemble import assemble_with_signatures
+
+    tr = small_corpus.repartition(8, "conv_id")
+    plan = _plan(assemble_with_signatures(tr, 8, 64), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_scoring_uses_shuffled_hash_join(spark, small_corpus):
     """The series-attachment joins skip SortMergeJoin's payload sort."""
     from cutwed_spark.operators.assemble import assemble_series

@@ -48,6 +48,31 @@ def test_blocking_recall(spark, corpus):
     assert covered / total >= 0.99, (covered, total)
 
 
+def test_one_pass_assembly_matches_separate_trees(spark, corpus):
+    """assemble_with_signatures (single scan/shuffle, zero joins — the
+    pipeline default) must produce exactly the rows of the two-tree
+    formulation assemble_series + with_signatures."""
+    from cutwed_spark.operators.assemble import assemble_with_signatures
+
+    trdf, _, _, _ = corpus
+    cfg = PipelineConfig()
+    one = assemble_with_signatures(
+        trdf, cfg.n_buckets, cfg.max_turns, num_hashes=cfg.num_hashes
+    )
+    two = with_signatures(
+        trdf,
+        assemble_series(trdf, cfg.n_buckets, cfg.max_turns),
+        num_hashes=cfg.num_hashes,
+    ).select(*one.columns)
+    def key(r):
+        return r["conv_id"]
+    rows_one = sorted(one.collect(), key=key)
+    rows_two = sorted(two.collect(), key=key)
+    assert len(rows_one) == len(rows_two)
+    for a, b in zip(rows_one, rows_two):
+        assert a.asDict() == b.asDict(), (a["conv_id"],)
+
+
 def test_stable_turn_ordering_invariant(spark, corpus):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering —
     the per-row invariant from BASELINE.json input_hint. Assembled
