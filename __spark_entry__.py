@@ -639,6 +639,43 @@ def _emb_lsh_buckets(spark, sf_dir):
     return lsh_bucket_ids(_emb(spark, sf_dir), dim=EMBEDDING_DIM, n_planes=8)
 
 
+def _emb_near_dup_lsh(spark, sf_dir):
+    """The scale path for embedding near-dup: same-bucket pairs only
+    (no all-pairs join); oracle reproduces the md5-derived hyperplane
+    buckets so recall loss is deterministic and checkable."""
+    from cutwed_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), dim=EMBEDDING_DIM, threshold=0.4, n_planes=4
+    )
+
+
+def _emb_near_dup_lsh_oracle() -> str:
+    from cutwed_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(4):
+        plane = _hyperplane(EMBEDDING_DIM, p)
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         CAST({expr} AS INT) AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+"""
+
+
 def _lsh_buckets_oracle() -> str:
     from cutwed_spark.operators.similarity import _hyperplane
 
@@ -888,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _text_fingerprints,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_lsh_buckets": _emb_lsh_buckets,
         # multimodal (binary media columns, mapInPandas plumbing)
         "mm_decode_meta": _mm_decode_meta,
@@ -926,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": FINGERPRINTS_ORACLE,
         "emb_cosine_topk": EMB_COSINE_TOPK_ORACLE,
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,
+        "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "emb_lsh_buckets": _lsh_buckets_oracle(),
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,

@@ -120,13 +120,30 @@ def assemble_with_signatures(
     feat = with_turn_features(
         transcripts, n_buckets, bucket_scale=bucket_scale, role_scale=role_scale
     )
-    wh = word_hash_col()
-    shb = shingle_hashes_from_word_hashes(wh, shingle_k)
-    per_turn = feat.select(
+    # The wh/shb arrays MUST be materialized as aliased columns in
+    # separate projections before the member-min folds reference them:
+    # Spark disables common-subexpression elimination inside
+    # higher-order-function lambdas, so inlining the expressions into
+    # the num_hashes+word_num_hashes folds of ONE projection would
+    # re-run the whole word-split+hash+mix tree once per member
+    # (measured ~5x on the assemble stage). A producer alias referenced
+    # many times by non-cheap consumers also blocks CollapseProject
+    # from undoing the split.
+    hashed = feat.select(
         "conv_id",
         F.struct("turn_idx", "feat", "t", "text_hash", "tool").alias("turn"),
-        *per_turn_member_mins(shb, num_hashes, "m"),
-        *per_turn_member_mins(wh, word_num_hashes, "w"),
+        word_hash_col().alias("wh"),
+    ).select(
+        "conv_id",
+        "turn",
+        "wh",
+        shingle_hashes_from_word_hashes(F.col("wh"), shingle_k).alias("shb"),
+    )
+    per_turn = hashed.select(
+        "conv_id",
+        "turn",
+        *per_turn_member_mins(F.col("shb"), num_hashes, "m"),
+        *per_turn_member_mins(F.col("wh"), word_num_hashes, "w"),
     )
     collected = per_turn.groupBy("conv_id").agg(
         F.array_sort(F.collect_list("turn")).alias("turns"),

@@ -89,7 +89,9 @@ def turn_shingle_hashes(
     scale (turns, not turn x shingle x hash).
     """
     return transcripts.select(
-        "conv_id", shingle_hashes_from_word_hashes(word_hash_col(), k).alias("shb")
+        "conv_id", word_hash_col().alias("wh")
+    ).select(
+        "conv_id", shingle_hashes_from_word_hashes(F.col("wh"), k).alias("shb")
     )
 
 
@@ -274,12 +276,22 @@ def with_signatures(
     small to survive banding — for long conversations it would only
     create non-discriminative mega-blocks.
     """
-    wh = word_hash_col()
-    shb = shingle_hashes_from_word_hashes(wh, shingle_k)
-    per_turn = transcripts.select(
+    # Materialize wh/shb as aliased columns in separate projections
+    # before the folds reference them — HOF lambdas are excluded from
+    # common-subexpression elimination, so inlining the expressions
+    # would recompute the word split + hashing once per member (see
+    # assemble.assemble_with_signatures for the measured impact).
+    hashed = transcripts.select(
+        "conv_id", word_hash_col().alias("wh")
+    ).select(
         "conv_id",
-        *per_turn_member_mins(shb, num_hashes, "m"),
-        *per_turn_member_mins(wh, word_num_hashes, "w"),
+        "wh",
+        shingle_hashes_from_word_hashes(F.col("wh"), shingle_k).alias("shb"),
+    )
+    per_turn = hashed.select(
+        "conv_id",
+        *per_turn_member_mins(F.col("shb"), num_hashes, "m"),
+        *per_turn_member_mins(F.col("wh"), word_num_hashes, "w"),
     )
     agg = per_turn.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("_n_turns_raw"),

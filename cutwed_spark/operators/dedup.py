@@ -79,7 +79,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise word-k-gram Jaccard similarity >= threshold.
     Output: (doc_id_a, doc_id_b, jaccard rounded to 4dp)."""
-    sh = doc_shingles(docs, k)
+    # The shingle subtree feeds the size agg, the document-frequency
+    # cut, AND both sides of the intersection self-join — without a
+    # persist it would re-shingle the corpus ~4x.
+    sh = doc_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = _rare_shingles(sh, max_df)
     inter = (
@@ -116,8 +119,10 @@ def minhash_lsh_pairs(
     max_df: int = 100,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> k md5-minhashes ->
-    banded keys -> bucket self-join. Output: (doc_id_a, doc_id_b)."""
-    sh = _rare_shingles(doc_shingles(docs, k), max_df)
+    banded keys -> bucket self-join. Output: (doc_id_a, doc_id_b).
+    The shingle subtree persists across the df-cut and the signature
+    agg (two consumers)."""
+    sh = _rare_shingles(doc_shingles(docs, k).persist(), max_df)
     mins = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(num_hashes)

@@ -181,15 +181,14 @@ def score_candidates(
     transfer_dtype: str = "double",
 ) -> DataFrame:
     """Candidate pairs -> scored edges (conv_id_a, conv_id_b, n_a, n_b,
-    twed, twed_norm) via per-pair join + mapInArrow.
+    twed, twed_norm) via per-pair join + mapInArrow — the DEFAULT
+    scoring path (see score_candidates_cogrouped for when the
+    dictionary-encoded variant wins instead).
 
-    The pipeline DEFAULT is ``score_candidates_cogrouped`` (each series
-    ships once per partition, not once per pair); this per-pair-join
-    variant remains for comparison/debug and as the only path honoring
-    ``salt`` (opt-in salted repartition for hot-key skew AQE cannot
-    split; costs an extra shuffle of the array payload).
     ``twed_norm = twed / (n_a + n_b)`` is the length-normalized score the
     thresholding stage uses (raw TWED grows with series length).
+    ``salt`` (opt-in) forces a salted repartition for hot-key skew that
+    AQE cannot split; it costs an extra shuffle of the array payload.
     """
     joined = attach_series(pairs, series, time_scale, transfer_dtype)
     if salt:
@@ -336,11 +335,16 @@ def score_candidates_cogrouped(
     ship each partition the DISTINCT series it needs (once, not once
     per pair), cogroup, score.
 
-    Arrow volume drops by the average pair-degree (hot conversations
-    amplify it) — the transfer analog of the reference copying the
-    series batch to the device once and sweeping all pairs against it.
-    This is the default scoring path; the per-pair-join variant
-    (score_candidates) remains for comparison/debug.
+    The transfer analog of the reference copying the series batch to
+    the device once and sweeping all pairs against it
+    (/root/reference/src/cuTWED_core.h:583-620). NOT the default: a
+    series lands in ~min(pair_degree, n_partitions) partitions either
+    way, so the volume saving only materializes when pair-degree >>
+    shuffle partitions (hot-conversation skew), while this path always
+    pays the needed-series dedup, an extra series shuffle, and
+    full-group materialization — measured ~6x slower than
+    score_candidates at the 100k bench corpus (degree ~5). Use it as
+    the escape hatch for high-degree corpora.
     """
     spark = pairs.sparkSession
     n_part = num_partitions or int(

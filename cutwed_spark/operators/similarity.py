@@ -315,5 +315,61 @@ def topk_neighbors(
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate edges (dedup operator)."""
+    """Embedding-cosine near-duplicate edges (dedup operator) —
+    EXACT all-pairs formulation (crossJoin + TRIL): the correctness
+    baseline for calibration-sized tables. At corpus scale use
+    ``embedding_near_dup_pairs_lsh`` (bucketed, no all-pairs join)."""
     return cosine_pairs(emb, id_col).where(F.col("cos") >= threshold)
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-dup edges, LSH-bucketed — the scale path:
+    only same-bucket pairs are compared (O(sum bucket^2), not O(n^2)).
+    High-cosine pairs collide with probability (1 - theta/pi)^n_planes,
+    so recall < 1 by design and rises as threshold -> 1; size n_planes
+    with ``suggest_n_planes`` and cap pathological buckets like
+    ``lsh_cosine_topk``. Output: (vec_id_a, vec_id_b, cos)."""
+    e = with_double_embedding(emb).select(
+        F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ids = lsh_bucket_ids(emb, dim, n_planes, id_col)
+    oversized = (
+        ids.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+        .select("bucket")
+    )
+    ids = ids.join(oversized, "bucket", "left_anti")
+    bucketed = e.join(ids, id_col)
+    a = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )

@@ -43,7 +43,7 @@ from cutwed_spark.operators.blocking import (
     prune_oversized_blocks,
 )
 from cutwed_spark.operators.clustering import assign_clusters
-from cutwed_spark.operators.scoring import score_candidates_cogrouped
+from cutwed_spark.operators.scoring import score_candidates
 from cutwed_spark.plans.pipeline import PipelineConfig
 
 TRANSCRIPT_SCHEMA = (
@@ -163,7 +163,7 @@ def _incremental_batch(
         prior = spark.read.parquet(p["scored"]).select("conv_id_a", "conv_id_b")
         cand = cand.join(prior, ["conv_id_a", "conv_id_b"], "left_anti")
 
-    scored = score_candidates_cogrouped(
+    scored = score_candidates(
         cand,
         full,
         dim=cfg.dim,

@@ -188,6 +188,31 @@ def test_cosine_topk_guard_and_empty(spark, emb):
     assert cosine_topk(empty, k=3).count() == 0
 
 
+def test_emb_near_dup_lsh_vs_exact(emb):
+    """The bucketed near-dup path returns a SUBSET of the exact pairs
+    (no false positives — exact cosine re-check inside buckets) with
+    usable recall on tight clusters."""
+    from cutwed_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    df, _ = emb
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            df, dim=16, threshold=0.9, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh & exact) / len(exact) >= 0.6, (len(lsh), len(exact))
+
+
 def test_quality_and_lang(docs):
     q = {r["doc_id"]: r for r in quality_stats(docs).collect()}
     assert q[0]["n_words"] == 13

@@ -50,6 +50,36 @@ def test_incremental_matches_batch(spark, split_corpus):
     assert sc == bc
 
 
+def test_state_version_guard(spark, split_corpus, tmp_path):
+    """A state dir written by another signature family / schema version
+    must be refused, not silently unioned (old-family signatures never
+    band-collide with new ones -> silently missed duplicates)."""
+    import json
+
+    from cutwed_spark.streaming.ingest import check_state_version
+
+    in_dir, work_dir, _, _ = split_corpus
+    state = os.path.join(work_dir, "state")
+    marker = os.path.join(state, "_state_version.json")
+    assert os.path.isfile(marker)  # ingest wrote it
+    check_state_version(state)  # current version: fine
+    orig = open(marker).read()
+    try:
+        with open(marker, "w") as fh:
+            json.dump({"signature_family_version": 1, "state_format": 1}, fh)
+        with pytest.raises(ValueError, match="band-collide|version"):
+            check_state_version(state)
+    finally:
+        with open(marker, "w") as fh:
+            fh.write(orig)
+    # unmarked dir with parquet = pre-versioning state -> refuse
+    legacy = tmp_path / "legacy_state"
+    os.makedirs(legacy)
+    (legacy / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="predates"):
+        check_state_version(str(legacy))
+
+
 def test_incremental_scores_match_batch(spark, split_corpus):
     """Scores, not just edge sets: a pair scored in the stream must have
     the same twed as the batch path (same kernel, same state)."""
