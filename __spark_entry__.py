@@ -639,6 +639,52 @@ def _emb_lsh_buckets(spark, sf_dir):
     return lsh_bucket_ids(_emb(spark, sf_dir), dim=EMBEDDING_DIM, n_planes=8)
 
 
+def _emb_ann_topk(spark, sf_dir):
+    """ANN top-k (the scale path: bucketed, no driver collect, capped
+    buckets) — deterministic md5 hyperplanes make the recall loss
+    reproducible, so even the APPROXIMATE result is oracle-checkable."""
+    from cutwed_spark.operators.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(
+        _emb(spark, sf_dir), dim=EMBEDDING_DIM, k=3, n_planes=4
+    )
+
+
+def _emb_ann_topk_oracle() -> str:
+    from cutwed_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(4):
+        plane = _hyperplane(EMBEDDING_DIM, p)
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         CAST({expr} AS INT) AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT vec_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _emb_near_dup_lsh(spark, sf_dir):
     """The scale path for embedding near-dup: same-bucket pairs only
     (no all-pairs join); oracle reproduces the md5-derived hyperplane
@@ -927,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_lsh_buckets": _emb_lsh_buckets,
+        "emb_ann_topk": _emb_ann_topk,
         # multimodal (binary media columns, mapInPandas plumbing)
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -966,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "emb_lsh_buckets": _lsh_buckets_oracle(),
+        "emb_ann_topk": _emb_ann_topk_oracle(),
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
         "mm_feature_stats": MM_FEATURE_STATS_ORACLE,

@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split size: the sandbox corpora are single parquet files
+        # of tens of MB — at the 128m default the scan (and the shuffle
+        # WRITE feeding the first repartition) runs single-task and
+        # serializes the whole assemble stage behind one core. 16m
+        # splits the file across cores (measured ~1.7x on cold
+        # assemble). On a real cluster with TB-scale inputs raise this
+        # back toward 128m via the env override — more splits than
+        # cores is pure scheduler overhead there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     # Shuffle on tmpfs when available: local[N] scoring shuffles GBs of
     # array payload; disk-backed spill serializes all cores behind one

@@ -54,6 +54,6 @@ def test_all_queries_have_impls():
     q = entry.queries()
     o = entry.oracle_sql()
     assert len(q) >= 25
-    assert set(o) <= set(q)
-    # the two rows-only entries are the non-SQL-expressible TWED ops
-    assert set(q) - set(o) == {"er_match_edges", "er_clusters"}
+    # EVERY driver entry is oracle-checked — the TWED/CC entries via
+    # literal-VALUES goldens (er_golden.py), everything else via SQL.
+    assert set(o) == set(q)

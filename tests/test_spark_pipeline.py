@@ -48,6 +48,31 @@ def test_blocking_recall(spark, corpus):
     assert covered / total >= 0.99, (covered, total)
 
 
+def test_degenerate_single_conversation(spark):
+    """One conversation: no pairs, no edges, one singleton cluster —
+    every stage must handle the empty-downstream case without crashing."""
+    import pandas as pd
+
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["only"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", "assistant", "user"],
+            "text": ["hello there", "hi how can i help", "thanks bye"],
+            "tool": ["", "", ""],
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00:00", "2025-01-01 00:00:30",
+                 "2025-01-01 00:01:00"]
+            ),
+        }
+    )
+    res = run_pipeline(spark, spark.createDataFrame(tr), PipelineConfig(threshold=0.5))
+    assert res.edges.count() == 0
+    clusters = res.clusters.collect()
+    assert len(clusters) == 1
+    assert clusters[0]["cluster_id"] == "only"
+
+
 def test_one_pass_assembly_matches_separate_trees(spark, corpus):
     """assemble_with_signatures (single scan/shuffle, zero joins — the
     pipeline default) must produce exactly the rows of the two-tree
