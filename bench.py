@@ -235,6 +235,11 @@ def run_query_bench() -> dict:
         shuffle_partitions=2 * CPUS,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen/scan warmup so the FIRST timed query doesn't absorb
+    # one-time session costs (measured ~5-8 s on q1 otherwise): one
+    # shuffle + one parquet footer read, results discarded.
+    spark.range(100_000).selectExpr("id % 64 AS k").groupBy("k").count().count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).count()
     names = [
         "q1_pricing_summary",
         "q3_top_revenue",
