@@ -155,6 +155,15 @@ SELECT user_id,
 FROM deltas GROUP BY user_id
 """
 
+EVENTS_CUBE = """
+SELECT event_type,
+       CAST(year(ts) AS INT) AS event_year,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, year(ts))
+"""
+
 SET_OPS_ACTIVE_USERS = """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
@@ -953,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _sql_query(CUSTOMERS_WITHOUT_ORDERS),
         "events_type_stats": _sql_query(EVENTS_TYPE_STATS),
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
+        "events_cube": _sql_query(EVENTS_CUBE),
         "set_ops_active_users": _sql_query(SET_OPS_ACTIVE_USERS),
         # ER pipeline stages over events-derived transcripts
         "er_assemble_counts": _er_assemble_counts_spark,
@@ -995,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS,
         "events_type_stats": EVENTS_TYPE_STATS,
         "events_sessionize": EVENTS_SESSIONIZE,
+        "events_cube": EVENTS_CUBE,
         "set_ops_active_users": SET_OPS_ACTIVE_USERS,
         "er_assemble_counts": ER_ASSEMBLE_COUNTS_ORACLE,
         "er_turn_gaps": ER_TURN_GAPS_ORACLE,
