@@ -221,13 +221,17 @@ def prune_oversized_blocks(
             ).otherwise(0)
         ).cast("long").alias("est_candidate_pairs"),
     )
-    # Drop-side anti-join on the OVERSIZED keys instead of keep-side
-    # equi-join: the dropped-key set is bounded by the skew tail (tiny),
-    # while keep_keys is one row per kept block — unbounded at corpus
-    # scale, so it must never be force-broadcast. No broadcast hint
-    # either way: AQE broadcasts drop_keys when its runtime size fits.
-    drop_keys = sized.where(F.col("block_size") > max_block).select("block_key")
-    kept = blocks.join(drop_keys, "block_key", "left_anti")
+    # Keep only keys that can PRODUCE pairs: 2 <= size <= max_block.
+    # Dropping singleton blocks up front is a large shuffle cut — most
+    # keys are singletons (measured ~80% on the bench corpus: unique
+    # turn-text fingerprints, discriminative LSH bands), and they would
+    # otherwise ride through the pair self-join contributing nothing.
+    # No broadcast hint (the kept-key set is unbounded at corpus
+    # scale); AQE picks the join strategy from runtime sizes.
+    pair_keys = sized.where(
+        (F.col("block_size") >= 2) & (F.col("block_size") <= max_block)
+    ).select("block_key")
+    kept = blocks.join(pair_keys, "block_key")
     return kept, stats
 
 
