@@ -164,6 +164,28 @@ FROM events
 GROUP BY CUBE (event_type, year(ts))
 """
 
+# JSON functions (props is a JSON object column) — dialect-split:
+# get_json_object (Spark) vs json_extract_string (DuckDB).
+EVENTS_JSON_STATS_SPARK = """
+SELECT event_type,
+       count(get_json_object(props, '$.k')) AS n_with_k,
+       CAST(round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS DOUBLE) AS avg_k,
+       CAST(min(CAST(get_json_object(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(get_json_object(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+EVENTS_JSON_STATS_ORACLE = """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       CAST(round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS DOUBLE) AS avg_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
 SET_OPS_ACTIVE_USERS = """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
@@ -705,6 +727,64 @@ def _emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (second ANN family next to hyperplane LSH): coarse
+    cells from deterministic md5-ordered centroids, probe the 2 nearest
+    cells, exact cosine re-rank — fully reproducible in DuckDB."""
+    from cutwed_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(_emb(spark, sf_dir), k=5, n_cells=16, n_probe=2)
+
+
+IVF_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS cell_id,
+         v AS cvec, nrm AS cnrm
+  FROM (SELECT * FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+),
+sim AS (
+  SELECT e.vec_id, cent.cell_id,
+         list_dot_product(e.v, cent.cvec) / (e.nrm * cent.cnrm) AS csim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS cell_rank
+  FROM sim
+),
+homes AS (SELECT vec_id AS neighbor_id, cell_id FROM assign WHERE cell_rank = 1),
+probes AS (SELECT vec_id, cell_id FROM assign WHERE cell_rank <= 2),
+cand AS (
+  SELECT DISTINCT p.vec_id, h.neighbor_id
+  FROM probes p JOIN homes h USING (cell_id)
+  WHERE p.vec_id <> h.neighbor_id
+),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cos
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN e b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _emb_near_dup_lsh_oracle() -> str:
     from cutwed_spark.operators.similarity import _hyperplane
 
@@ -963,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": _sql_query(EVENTS_TYPE_STATS),
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
         "events_cube": _sql_query(EVENTS_CUBE),
+        "events_json_stats": _sql_query(EVENTS_JSON_STATS_SPARK),
         "set_ops_active_users": _sql_query(SET_OPS_ACTIVE_USERS),
         # ER pipeline stages over events-derived transcripts
         "er_assemble_counts": _er_assemble_counts_spark,
@@ -984,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_lsh_buckets": _emb_lsh_buckets,
         "emb_ann_topk": _emb_ann_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
         # multimodal (binary media columns, mapInPandas plumbing)
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -1006,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": EVENTS_TYPE_STATS,
         "events_sessionize": EVENTS_SESSIONIZE,
         "events_cube": EVENTS_CUBE,
+        "events_json_stats": EVENTS_JSON_STATS_ORACLE,
         "set_ops_active_users": SET_OPS_ACTIVE_USERS,
         "er_assemble_counts": ER_ASSEMBLE_COUNTS_ORACLE,
         "er_turn_gaps": ER_TURN_GAPS_ORACLE,
@@ -1025,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "emb_lsh_buckets": _lsh_buckets_oracle(),
         "emb_ann_topk": _emb_ann_topk_oracle(),
+        "emb_ivf_topk": IVF_TOPK_ORACLE,
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
         "mm_feature_stats": MM_FEATURE_STATS_ORACLE,

@@ -290,6 +290,112 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame, n_cells: int = 16, n_probe: int = 2, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantization: deterministic centroids (the first
+    ``n_cells`` vectors in md5-of-id order — reproducible in any engine,
+    no RNG/iteration state to ship), every vector ranked against all
+    centroids by cosine. Output: (vec_id, cell_id, cell_rank) with
+    cell_rank 1..n_probe — rank 1 is the home cell (inverted-list
+    membership), ranks 2..n_probe are the probe cells used at query
+    time. The centroid table is O(n_cells) and legitimately
+    broadcastable; assignment is a narrow map over the broadcast, so
+    this scales as one pass over the corpus."""
+    from pyspark.sql.window import Window
+
+    e = with_double_embedding(emb).select(
+        F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    # orderBy().limit() compiles to a distributed TakeOrdered (no
+    # global sort shuffle); the single-partition row_number window then
+    # runs over only n_cells rows.
+    cent_base = (
+        e.withColumn("_m", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_m", id_col)
+        .limit(n_cells)
+    )
+    cent_w = Window.orderBy("_m", id_col)
+    centroids = cent_base.select(
+        F.row_number().over(cent_w).alias("cell_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = (
+        e.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            "cell_id",
+            (_dot(F.col("embedding"), F.col("cvec"))
+             / (F.col("nrm") * F.col("cnrm"))).alias("csim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
+    return (
+        sim.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n_probe)
+        .select(id_col, "cell_id", "cell_rank")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize to cells, probe each query's n_probe
+    nearest cells, exact cosine re-rank among the vectors HOMED there.
+    Output: (vec_id, neighbor_id, cos, rank). The second ANN family
+    next to the random-hyperplane LSH path — IVF recall degrades
+    gracefully with cluster structure (probe more cells) where LSH
+    recall is set by n_planes. n_cells should grow ~sqrt(n) at scale so
+    cell lists stay O(sqrt(n))."""
+    from pyspark.sql.window import Window
+
+    assign = ivf_assignments(emb, n_cells, n_probe, id_col)
+    e = with_double_embedding(emb).select(
+        F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    homes = assign.where(F.col("cell_rank") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "cell_id"
+    )
+    probes = assign.select(F.col(id_col).alias("vec_id"), "cell_id")
+    a = e.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = (
+        probes.join(homes, "cell_id")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def topk_neighbors(
     emb: DataFrame,
     dim: int,

@@ -188,6 +188,25 @@ def test_cosine_topk_guard_and_empty(spark, emb):
     assert cosine_topk(empty, k=3).count() == 0
 
 
+def test_ivf_topk_recall(emb):
+    """IVF (cells + probes + exact re-rank) recovers most exact top-1
+    neighbors on tight clusters; results are a subset of real cosine
+    scores (no fabricated neighbors)."""
+    from cutwed_spark.operators.similarity import ivf_cosine_topk
+
+    df, _ = emb
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk(df, k=1).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(df, k=1, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
 def test_emb_near_dup_lsh_vs_exact(emb):
     """The bucketed near-dup path returns a SUBSET of the exact pairs
     (no false positives — exact cosine re-check inside buckets) with
