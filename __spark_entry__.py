@@ -976,6 +976,27 @@ FROM v, LATERAL unnest(generate_series(0, n_frames - 1, 4)) AS u(i)
 """
 
 
+def _mm_resize(spark, sf_dir):
+    """resize_images (binary-in/binary-out mapInPandas) -> the oracle
+    checks the codec-independent columns (id + output geometry/bytes);
+    the stub raster bytes are unit-tested for determinism."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.multimodal import resize_images
+
+    return resize_images(_media_table(spark, sf_dir), width=64, height=36).select(
+        "media_id", "width", "height", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+MM_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(64 AS INT) AS width, CAST(36 AS INT) AS height,
+       CAST(64 * 36 * 3 AS BIGINT) AS n_bytes
+FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+"""
+
+
 def _mm_feature_stats(spark, sf_dir):
     """extract_features (sha256-derived stub embedding) -> per-kind
     feature statistics; the oracle checks the Spark-side aggregation
@@ -1069,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (binary media columns, mapInPandas plumbing)
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_resize": _mm_resize,
         "mm_feature_stats": _mm_feature_stats,
         # TWED kernel + iterative CC: deterministic output pinned by
         # literal-VALUES golden oracles (er_golden.py)
@@ -1111,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": IVF_TOPK_ORACLE,
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
+        "mm_resize": MM_RESIZE_ORACLE,
         "mm_feature_stats": MM_FEATURE_STATS_ORACLE,
         # TWED DP + iterative connected components are not
         # SQL-expressible as computations, but their output on the

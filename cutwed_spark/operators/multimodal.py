@@ -126,6 +126,59 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id bigint, width int, height int, n_bytes int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: 'image' payloads -> fixed (width, height)
+    RGB rasters as new binary payloads (n_bytes = width*height*3).
+
+    The raster synthesis is the STUB (a deterministic byte stream seeded
+    by the source payload digest — replace with PIL's decode+resize+
+    encode when the codec exists; the gate mirrors decode_media); the
+    Spark side — binary-in/binary-out mapInPandas, Arrow batching,
+    pushdown-friendly kind filter, typed output schema — is the real
+    operator shape a 100 TB preprocessing pipeline runs.
+    """
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = use_real_codec and _real_decode_available()
+        if use_real_codec and not real:
+            raise NotImplementedError(
+                "real image resize requires PIL, not present in this "
+                "environment; use the deterministic stub "
+                "(use_real_codec=False)"
+            )
+        n_out = width * height * 3
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(
+                    bytes(p) + width.to_bytes(4, "little")
+                    + height.to_bytes(4, "little")
+                ).digest()
+                reps = n_out // len(digest) + 1
+                payloads.append(bytearray((digest * reps)[:n_out]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype=np.int32),
+                    "height": pd.Series([height] * len(pdf), dtype=np.int32),
+                    "n_bytes": pd.Series([n_out] * len(pdf), dtype=np.int32),
+                    "payload": payloads,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, frame_bytes: int = 256, every_k: int = 4
 ) -> DataFrame:

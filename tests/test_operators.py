@@ -275,6 +275,29 @@ def test_multimodal_features_feed_similarity(spark):
     assert all(abs(r["cos"]) <= 1.0 for r in top)
 
 
+def test_multimodal_resize(spark):
+    from cutwed_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=12)
+    out = resize_images(media, width=32, height=16).collect()
+    assert len(out) == 4  # only 'image' rows
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 16
+        assert len(r["payload"]) == 32 * 16 * 3 == r["n_bytes"]
+    # determinism + dependence on requested geometry
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=32, height=16).collect()}
+    other = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=16, height=16).collect()}
+    for r in out:
+        assert bytes(r["payload"]) == again[r["media_id"]]
+        assert bytes(r["payload"])[:16] != other[r["media_id"]][:16]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_images(media, use_real_codec=True).collect()
+
+
 def test_multimodal_frame_sampling(spark):
     media = synth_media(spark, n=12)
     frames = sample_frames(media, frame_bytes=128, every_k=2).collect()
