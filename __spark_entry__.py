@@ -582,7 +582,11 @@ def _text_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
-TOKEN_COUNTS_ORACLE = """
+def _token_counts_oracle() -> str:
+    from cutwed_spark.operators.textstats import BPE_TOKEN_PATTERN as _PAT
+
+    BPE_TOKEN_PATTERN = _PAT.replace("'", "''")  # SQL string-literal escape
+    return f"""
 WITH base AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
@@ -590,7 +594,9 @@ WITH base AS (
 SELECT doc_id,
        CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
        greatest(CAST(ceil(length(norm) / 4.0) AS BIGINT),
-                CAST(len(string_split(norm, ' ')) AS BIGINT)) AS est_bpe_tokens
+                CAST(len(string_split(norm, ' ')) AS BIGINT)) AS est_bpe_tokens,
+       CAST(len(regexp_extract_all(norm, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+         AS n_regex_tokens
 FROM base
 """
 
@@ -605,10 +611,20 @@ FINGERPRINTS_ORACLE = """
 WITH base AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) >= 8 THEN
+           (SELECT min(md5(substring(b.norm, u.i, 8)))
+            FROM unnest(generate_series(1, length(norm) - 7)) AS u(i))
+         ELSE md5(norm) END AS winnow_fingerprint,
+         norm
+  FROM base b
 )
 SELECT doc_id, md5(norm) AS fingerprint,
-       md5(substring(norm, 1, 64)) AS prefix_fingerprint
-FROM base
+       md5(substring(norm, 1, 64)) AS prefix_fingerprint,
+       winnow_fingerprint
+FROM grams
 """
 
 
@@ -1123,7 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "text_quality": _quality_oracle(),
         "text_lang_id": _lang_id_oracle(),
-        "text_token_counts": TOKEN_COUNTS_ORACLE,
+        "text_token_counts": _token_counts_oracle(),
         "text_fingerprints": FINGERPRINTS_ORACLE,
         "emb_cosine_topk": EMB_COSINE_TOPK_ORACLE,
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,

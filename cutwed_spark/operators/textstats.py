@@ -71,28 +71,59 @@ def lang_id(docs: DataFrame, en_threshold: float = 0.08) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, simplified to the subset whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB):
+# contraction suffixes, letter runs, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 ']+|'"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace tokens + a BPE-ish estimate (~chars/4 per subword plus
-    word-boundary overhead — the standard back-of-envelope used for LLM
-    corpus sizing). Output: (doc_id, n_words, est_bpe_tokens)."""
+    """Whitespace tokens, a chars/4 BPE estimate (the standard
+    back-of-envelope for LLM corpus sizing), and an actual BPE-ish
+    REGEX pre-token count (contractions / letter runs / digit runs /
+    punctuation runs — the GPT-2 pre-tokenizer shape).
+    Output: (doc_id, n_words, est_bpe_tokens, n_regex_tokens)."""
     norm = normalized_text()
     n_words = F.size(F.split(norm, " ")).cast("bigint")
     n_chars = F.length(norm).cast("double")
     est = F.ceil(n_chars / F.lit(4.0)).cast("bigint")
+    n_regex = F.regexp_count(norm, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         F.greatest(est, n_words).alias("est_bpe_tokens"),
+        n_regex.alias("n_regex_tokens"),
     )
 
 
+WINNOW_K = 8
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
-    """Content fingerprint: md5 of normalized text, plus a coarse
-    64-char prefix fingerprint for prefix-dup detection.
-    Output: (doc_id, fingerprint, prefix_fingerprint)."""
-    norm = normalized_text()
-    return docs.select(
+    """Content fingerprints: md5 of normalized text, a coarse 64-char
+    prefix fingerprint for prefix-dup detection, and a ROLLING-HASH
+    winnowing fingerprint — the lexicographic min over all char-8-gram
+    hashes, invariant to local insertions/deletions elsewhere in the
+    document (one linear pass; the min selection is the 1-fingerprint
+    degenerate case of the winnowing scheme).
+    Output: (doc_id, fingerprint, prefix_fingerprint, winnow_fingerprint).
+    """
+    # norm is materialized as a column in its own projection BEFORE the
+    # per-gram lambda references it: HOF lambdas are excluded from
+    # subexpression elimination, so inlining the normalization tree
+    # would re-run it once per gram (O(len^2) per document).
+    base = docs.select("doc_id", normalized_text().alias("norm"))
+    norm = F.col("norm")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - F.lit(WINNOW_K - 1)),
+        lambda i: F.md5(F.substring(norm, i, F.lit(WINNOW_K))),
+    )
+    winnow = F.when(
+        F.length(norm) >= WINNOW_K, F.array_min(grams)
+    ).otherwise(F.md5(norm))
+    return base.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
+        winnow.alias("winnow_fingerprint"),
     )
