@@ -499,6 +499,25 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
 """
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup join. The banding is recall-LOSSLESS by
+    pigeonhole (max_hamming+1 slices), so the bucketed Spark result must
+    exactly equal the oracle's naive all-pairs hamming filter."""
+    from cutwed_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), bits=16, max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH s AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def _text_quality(spark, sf_dir):
     from cutwed_spark.operators.textstats import quality_stats
 
@@ -1093,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
@@ -1137,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "text_quality": _quality_oracle(),
         "text_lang_id": _lang_id_oracle(),
         "text_token_counts": _token_counts_oracle(),
