@@ -114,6 +114,21 @@ def test_no_forced_broadcast_on_unbounded_sides(spark, small_corpus):
     assert "ResolvedHint" not in analyzed, "forced broadcast hint in blocking"
 
 
+def test_ivf_centroid_selection_is_take_ordered(spark):
+    """IVF centroid pick must compile to a distributed TakeOrdered (top
+    n_cells by md5), never a global Sort+Exchange of the corpus; the
+    assignment join must broadcast the O(n_cells) centroid table."""
+    from cutwed_spark.operators.similarity import ivf_assignments
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = _plan(ivf_assignments(df, n_cells=4, n_probe=2))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_events_dim_join_broadcasts(spark, tmp_path):
     """A small dimension side becomes a BroadcastHashJoin."""
     big = spark.range(10_000).select("id", (F.col("id") % 50).alias("k"))
