@@ -445,34 +445,48 @@ def _dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes(source: str, prefix: str = "") -> str:
+    """The MinHash/LSH candidate-pair CTE chain over ``source``
+    (a relation with doc_id, text); final CTE ``{prefix}mh_pairs``
+    holds (doc_id_a, doc_id_b). Shared by the standalone operator
+    oracle and the curation-funnel oracle."""
+    p = prefix
     mins = ",\n".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(12))
     bands = ",\n".join(
         f"concat_ws('|', '{b}', h{2*b}, h{2*b+1}) AS b{b}" for b in range(6)
     )
     band_union = " UNION ALL ".join(
-        f"SELECT doc_id, b{b} AS band_key FROM banded" for b in range(6)
+        f"SELECT doc_id, b{b} AS band_key FROM {p}banded" for b in range(6)
     )
     return f"""
-WITH w AS (
+{p}w AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
-  FROM documents
+  FROM {source}
 ),
-sh AS (
+{p}sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
-  FROM w, LATERAL unnest(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
+  FROM {p}w, LATERAL unnest(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
 ),
-rare AS (
-  SELECT sh.* FROM sh
-  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100) f
+{p}rare AS (
+  SELECT {p}sh.* FROM {p}sh
+  JOIN (SELECT shingle FROM {p}sh GROUP BY shingle HAVING count(*) <= 100) f
   USING (shingle)
 ),
-sig AS (SELECT doc_id, {mins} FROM rare GROUP BY doc_id),
-banded AS (SELECT doc_id, {bands} FROM sig),
-keys AS ({band_union})
-SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
-FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+{p}sig AS (SELECT doc_id, {mins} FROM {p}rare GROUP BY doc_id),
+{p}banded AS (SELECT doc_id, {bands} FROM {p}sig),
+{p}keys AS ({band_union}),
+{p}mh_pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM {p}keys l JOIN {p}keys r
+    ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes("documents")}
+SELECT doc_id_a, doc_id_b FROM mh_pairs
 """
 
 
@@ -515,6 +529,47 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _curation_funnel(spark, sf_dir):
+    """Full curation pass (quality gate -> exact dedup -> MinHash/LSH
+    near-dup prune) composed from the existing operators in one plan;
+    the oracle recomputes every stage in DuckDB and checks the per-stage
+    retention counts."""
+    from cutwed_spark.operators.curation import curate_documents
+
+    _, funnel = curate_documents(_docs(spark, sf_dir))
+    return funnel
+
+
+def _curation_funnel_oracle() -> str:
+    quality = _quality_oracle()
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({quality}) t
+  WHERE quality_score >= 0.5 AND stopword_ratio >= 0.08
+),
+qdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+hashed AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dup_hash
+  FROM qdocs
+),
+keep_exact AS (
+  SELECT doc_id, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY dup_hash) AS min_id FROM hashed
+  ) WHERE doc_id = min_id
+),
+{_minhash_pairs_ctes("keep_exact", "c_")},
+survivors AS (
+  SELECT doc_id FROM keep_exact
+  WHERE doc_id NOT IN (SELECT doc_id_b FROM c_mh_pairs)
+)
+SELECT (SELECT count(*) FROM documents)  AS n_input,
+       (SELECT count(*) FROM qdocs)      AS n_after_quality,
+       (SELECT count(*) FROM keep_exact) AS n_after_exact,
+       (SELECT count(*) FROM survivors)  AS n_after_neardup
 """
 
 
@@ -1113,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "curation_funnel": _curation_funnel,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
@@ -1158,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
+        "curation_funnel": _curation_funnel_oracle(),
         "text_quality": _quality_oracle(),
         "text_lang_id": _lang_id_oracle(),
         "text_token_counts": _token_counts_oracle(),

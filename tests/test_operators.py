@@ -232,6 +232,36 @@ def test_emb_near_dup_lsh_vs_exact(emb):
     assert len(lsh & exact) / len(exact) >= 0.6, (len(lsh), len(exact))
 
 
+def test_curation_funnel(spark):
+    """Planted fixture: junk fails the quality gate, the exact dup and
+    the near dup are pruned keeping the min doc_id — the funnel counts
+    each stage."""
+    from cutwed_spark.operators.curation import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs far "
+        "away into the green field while the sun is high and the wind is low"
+    )
+    near = base.replace("dog", "cat").replace("sun", "moon")
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0 -> dropped at exact stage
+        (2, near),            # near dup of 0 -> dropped at near-dup stage
+        (3, "zz qq ww 11 22"),  # junk -> dropped at quality gate
+        (4, "a completely different long document about spark query engines "
+            "and the shuffles they run when a join is too large to broadcast "
+            "across the cluster of many machines in the same data center"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    survivors, funnel = curate_documents(docs, max_df=100)
+    f = funnel.collect()[0]
+    assert f["n_input"] == 5
+    assert f["n_after_quality"] == 4     # junk out
+    assert f["n_after_exact"] == 3       # doc 1 out
+    assert f["n_after_neardup"] == 2     # doc 2 out
+    assert {r["doc_id"] for r in survivors.collect()} == {0, 4}
+
+
 def test_quality_and_lang(docs):
     q = {r["doc_id"]: r for r in quality_stats(docs).collect()}
     assert q[0]["n_words"] == 13
