@@ -249,9 +249,12 @@ def run_query_bench() -> dict:
         "er_minhash_signatures",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "curation_funnel",
         "text_quality",
         "emb_cosine_topk",
         "emb_lsh_buckets",
+        "emb_ivf_topk",
     ]
     qs = entry.queries()
     times = {}
