@@ -37,8 +37,13 @@ SIGNATURE_FAMILY_VERSION = 2
 def word_hash_col(text: str = "text"):
     """array<bigint>: xxhash64 of each lower-cased whitespace token —
     every word is hashed exactly ONCE; all shingle/minhash machinery
-    downstream works on these fixed-width bigints."""
-    words = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda w: w != "")
+    downstream works on these fixed-width bigints. NULL text coerces to
+    the empty array (NOT a null array): a null would propagate through
+    the member-min folds and defeat the empty-conversation sentinel."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
     return F.transform(words, lambda w: F.xxhash64(w))
 
 
@@ -118,9 +123,16 @@ def signature_from_mins(prefix: str, num_hashes: int):
     A conversation whose every turn is empty has no shingles at all;
     its sentinel-only signature would LSH-collide with every other
     empty conversation — exactly the non-discriminative block the size
-    cap would drop anyway, so null it out here."""
+    cap would drop anyway, so null it out here. A NULL min (possible
+    only if every per-turn fold was NULL) is treated like the sentinel:
+    a bare == comparison would evaluate to NULL and fall through to
+    otherwise(), emitting an array of NULLs that all degenerate
+    conversations share as a block key."""
     sig = F.array(*[F.col(f"{prefix}{i}") for i in range(num_hashes)])
-    return F.when(sig[0] == F.lit(_LONG_MAX), F.lit(None)).otherwise(sig)
+    first = F.col(f"{prefix}0")
+    return F.when(
+        first.isNull() | (first == F.lit(_LONG_MAX)), F.lit(None)
+    ).otherwise(sig)
 
 
 def minhash_from_hashes(

@@ -47,7 +47,12 @@ def curate_documents(
     if require_lang == "en":
         gate = gate.where(F.col("stopword_ratio") >= en_threshold)
     quality_ids = gate.select("doc_id")
-    qdocs = docs.join(quality_ids, "doc_id")
+    # Each stage feeds both the next stage AND a funnel count (and the
+    # returned survivors are consumed again by the caller) — persist the
+    # stage outputs so the regex-heavy quality pass and the dedup window
+    # run once, not once per consumer. Session-lifetime caches (Spark
+    # evicts LRU); call spark.catalog.clearCache() between large runs.
+    qdocs = docs.join(quality_ids, "doc_id").persist()
 
     # exact dedup: drop every non-minimum member of a duplicate group
     dup_losers = (
@@ -58,7 +63,7 @@ def curate_documents(
         .where(F.col("doc_id") != F.col("min_id"))
         .select("doc_id")
     )
-    edocs = qdocs.join(dup_losers, "doc_id", "left_anti")
+    edocs = qdocs.join(dup_losers, "doc_id", "left_anti").persist()
 
     # near-dup prune among exact-dedup survivors: for each LSH candidate
     # pair keep the smaller id (pairs are TRIL-ordered already)
@@ -67,7 +72,7 @@ def curate_documents(
         .select(F.col("doc_id_b").alias("doc_id"))
         .dropDuplicates(["doc_id"])
     )
-    survivors = edocs.join(near_losers, "doc_id", "left_anti")
+    survivors = edocs.join(near_losers, "doc_id", "left_anti").persist()
 
     funnel = (
         docs.agg(F.count(F.lit(1)).alias("n_input"))

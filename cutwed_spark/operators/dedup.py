@@ -81,7 +81,9 @@ def ngram_jaccard_pairs(
     Output: (doc_id_a, doc_id_b, jaccard rounded to 4dp)."""
     # The shingle subtree feeds the size agg, the document-frequency
     # cut, AND both sides of the intersection self-join — without a
-    # persist it would re-shingle the corpus ~4x.
+    # persist it would re-shingle the corpus ~4x. The cache lives for
+    # the session (Spark evicts LRU under pressure); call
+    # spark.catalog.clearCache() between large corpus runs.
     sh = doc_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = _rare_shingles(sh, max_df)
@@ -191,15 +193,24 @@ def simhash_pairs_from_hashes(
     slices would silently lose recall: 2 errors split 1-per-half match
     neither of 2 halves. Output: (doc_id_a, doc_id_b, hamming)."""
     n_bands = max_hamming + 1
-    width = -(-bits // n_bands)  # ceil
+    if bits < n_bands:
+        raise ValueError(
+            f"bits={bits} < max_hamming+1={n_bands}: cannot form "
+            f"max_hamming+1 non-empty slices, so the pigeonhole recall "
+            f"guarantee is unsatisfiable; lower max_hamming or raise bits"
+        )
+    # BALANCED split (widths differ by at most 1): a ceil-width split
+    # can collapse the band count (e.g. bits=16, max_hamming=4 ->
+    # width=4 gives only 4 slices for 5 required), silently voiding the
+    # guarantee for pairs with one error per slice.
+    base, rem = divmod(bits, n_bands)
     slices = []
+    start = 0
     for j in range(n_bands):
-        start = j * width
-        w = min(width, bits - start)
-        if w <= 0:
-            break
+        w = base + (1 if j < rem else 0)
         val = F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << w) - 1))
         slices.append(F.concat_ws(":", F.lit(str(j)), val.cast("string")))
+        start += w
     keyed = sim.select(
         "doc_id",
         "simhash",

@@ -64,27 +64,23 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return 160 + h % 1920, 90 + (h >> 7) % 1080, 1000 + (h >> 13) % 120_000
 
 
-def _real_decode_available() -> bool:
-    try:  # the codecs are intentionally absent in this container
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """binary payloads -> typed metadata. Arrow-batched; one pandas
     frame per batch, vectorized except the per-blob codec call (which a
     real codec also requires)."""
 
+    if use_real_codec:
+        # Raised at CONSTRUCTION (driver side), unconditionally: the
+        # real-codec branch is unwritten, so even with PIL importable it
+        # must never fall through to the stub — and a worker-side raise
+        # would be skipped entirely on empty partitions.
+        raise NotImplementedError(
+            "real media decode is not implemented (and PIL/libav are absent "
+            "in this environment); use the deterministic stub "
+            "(use_real_codec=False)"
+        )
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        real = use_real_codec and _real_decode_available()
-        if use_real_codec and not real:
-            raise NotImplementedError(
-                "real media decode requires PIL/libav, not present in this "
-                "environment; use the deterministic stub (use_real_codec=False)"
-            )
         for pdf in it:
             payloads = pdf["payload"]
             kinds = pdf["kind"]
@@ -148,14 +144,15 @@ def resize_images(
     operator shape a 100 TB preprocessing pipeline runs.
     """
 
+    if use_real_codec:
+        # Construction-time gate, unconditional — see decode_media.
+        raise NotImplementedError(
+            "real image resize is not implemented (and PIL is absent in "
+            "this environment); use the deterministic stub "
+            "(use_real_codec=False)"
+        )
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        real = use_real_codec and _real_decode_available()
-        if use_real_codec and not real:
-            raise NotImplementedError(
-                "real image resize requires PIL, not present in this "
-                "environment; use the deterministic stub "
-                "(use_real_codec=False)"
-            )
         n_out = width * height * 3
         for pdf in it:
             payloads = []

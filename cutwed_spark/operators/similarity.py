@@ -98,18 +98,21 @@ def cosine_topk(
     spark = emb.sparkSession
     id_type = emb.schema[id_col].dataType.simpleString()
     e = with_double_embedding(emb).select(F.col(id_col), "embedding")
-    n_rows = e.count()
-    if n_rows > max_rows:
+    # ONE materialization serves both the guard and the collect:
+    # limit(max_rows+1) either proves the table fits (and is the data)
+    # or proves it doesn't (and we stop before pulling the rest) — a
+    # separate count() would execute the upstream plan twice.
+    pdf = e.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"cosine_topk is the exactness baseline and driver-collects the "
-            f"embedding table ({n_rows} rows > max_rows={max_rows}); use "
+            f"embedding table (> max_rows={max_rows} rows); use "
             f"topk_neighbors/lsh_cosine_topk (bucketed) at scale, or raise "
             f"max_rows explicitly if the table truly fits driver memory"
         )
     out_schema = f"{id_col} {id_type}, neighbor_id {id_type}, cos double, rank int"
-    if n_rows == 0:
+    if len(pdf) == 0:
         return spark.createDataFrame([], out_schema)
-    pdf = e.toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.stack(pdf["embedding"].to_list()).astype(np.float64)
     nrm = np.sqrt(np.einsum("nd,nd->n", M, M))
@@ -216,7 +219,7 @@ def lsh_bucket_stats(buckets: DataFrame, max_bucket: int) -> DataFrame:
         F.sum(
             F.when(
                 F.col("bucket_size") <= max_bucket,
-                F.col("bucket_size") * (F.col("bucket_size") - 1),
+                F.col("bucket_size") * (F.col("bucket_size") - 1) / 2,
             ).otherwise(0)
         ).cast("long").alias("est_candidate_pairs"),
     )
@@ -410,7 +413,8 @@ def topk_neighbors(
     collect, no all-pairs join) with n_planes auto-sized to the corpus
     via ``suggest_n_planes`` unless given. For exact results on small
     calibration sets call ``cosine_topk`` explicitly (guarded by
-    max_rows)."""
+    max_rows). Auto-sizing n_planes costs one count() of the input;
+    pass ``n_planes`` explicitly to skip it."""
     if n_planes is None:
         n_planes = suggest_n_planes(emb.count(), target_bucket)
     return lsh_cosine_topk(

@@ -235,7 +235,21 @@ def run_pipeline(
             )
 
     with stage("score"):
+        if cfg.scoring_path not in ("joined", "cogrouped"):
+            raise ValueError(
+                f"unknown scoring_path {cfg.scoring_path!r}; "
+                f"expected 'joined' or 'cogrouped'"
+            )
         if cfg.scoring_path == "cogrouped":
+            if cfg.salt:
+                # refuse rather than silently drop the user's skew
+                # mitigation: the cogrouped path buckets pairs itself
+                # and has no salted-repartition stage.
+                raise ValueError(
+                    "salt is only honored by scoring_path='joined' "
+                    "(the cogrouped path buckets pairs itself); drop "
+                    "salt or use the joined path"
+                )
             scored_new = score_candidates_cogrouped(
                 pairs,
                 series,

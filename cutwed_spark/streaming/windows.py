@@ -27,8 +27,9 @@ def windowed_turn_stats(
     slide: str | None = None,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """stream (any rows with ``ts_col`` timestamp + ``key_col``) ->
-    per-(window, key) counts and text-length stats.
+    """transcript-shaped stream (requires ``ts_col`` timestamp,
+    ``key_col``, ``conv_id`` and ``text`` columns) -> per-(window, key)
+    row/conversation counts and text-length stats.
 
     * ``watermark`` bounds state AND defines the late-data contract:
       rows older than (max event time seen - watermark) are dropped by

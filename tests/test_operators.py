@@ -108,6 +108,45 @@ def test_simhash_banding_split_errors(spark):
     assert (0, 3) not in got  # hamming 3 > max_hamming
 
 
+def test_simhash_banding_balanced_slices(spark):
+    """bits=16, max_hamming=4 needs 5 NON-EMPTY slices: a ceil-width
+    split produces only 4 (width 4x4=16), and 4 errors hitting all four
+    would then be silently dropped. Balanced widths (4,3,3,3,3) keep
+    the pigeonhole guarantee; errors at bits 1,5,9,13 hit 4 of the 5
+    balanced slices and all 4 of the ceil slices."""
+    base = 0b1010101010101010
+    rows = [(0, base), (1, base ^ (1 << 1) ^ (1 << 5) ^ (1 << 9) ^ (1 << 13))]
+    sim = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_pairs_from_hashes(sim, bits=16, max_hamming=4).collect()
+    }
+    assert got[(0, 1)] == 4
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_from_hashes(sim, bits=4, max_hamming=6)
+
+
+def test_signatures_null_text_sentinel(spark):
+    """All-NULL-text conversations must get NULL sig AND NULL wsig (the
+    degenerate-block sentinel), not arrays of NULLs that every such
+    conversation would share as a word-band block key."""
+    from cutwed_spark.operators.assemble import assemble_with_signatures
+
+    rows = [
+        ("nulls", 0, "user", None, "", "2025-01-01 00:00:00"),
+        ("nulls", 1, "assistant", None, "", "2025-01-01 00:00:30"),
+        ("real", 0, "user", "hello world again", "", "2025-01-01 00:00:00"),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["conv_id"]: r for r in assemble_with_signatures(tr, 8, 64).collect()}
+    assert out["nulls"]["sig"] is None
+    assert out["nulls"]["wsig"] is None
+    assert out["real"]["sig"] is not None
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(1)
