@@ -253,18 +253,37 @@ def _match_costs_block(A, B, degree, deg):
 
     deg==2 uses the |a|^2+|b|^2-2ab expansion (BLAS batched matmul) —
     the CPU analog of cuTWED keeping the inner product in fast memory.
-    Trade-off: cancellation leaves ~sqrt(eps)*|x| absolute residue on
-    near-identical points (d(A,A) ~ 1e-7*|x| instead of exactly 0) —
-    irrelevant for thresholding, visible only to exact-zero asserts.
+    Cancellation rescue: expansion entries that land within the
+    expansion's own rounding envelope (~O(dim)*eps relative to the
+    operand magnitude aa+bb) have lost their significant digits to
+    cancellation, so they are recomputed with direct differences —
+    the reference's formulation (twed.c:139-159), which has no residue.
+    Near-identical points therefore score exactly 0 (d(A,A) == 0, the
+    metric identity), while the >99% of entries outside the envelope
+    keep BLAS throughput. The suspect set is exactly the near-duplicate
+    region, which is tiny except on true duplicate pairs, where the
+    direct O(count*dim) gather is still cheap vs the O(R*C*dim) matmul.
     Other degrees loop over dim to avoid a (P, R, C, dim) intermediate.
     """
     if deg == 2:
+        dim = A.shape[2]
         aa = np.einsum("prd,prd->pr", A, A)
         bb = np.einsum("pcd,pcd->pc", B, B)
         p = A @ B.transpose(0, 2, 1)  # reused in place as the output
         p *= -2.0
         p += aa[:, :, None]
         p += bb[:, None, :]
+        # Conservative per-row rounding envelope: |fl(aa+bb-2ab) - |a-b|^2|
+        # <= c*eps*(aa+bb) with c ~ dim+O(1); using max_j bb_j over-flags
+        # (safe: flagged entries are recomputed exactly) without
+        # materializing a second (P, R, C) float plane.
+        eps_env = (4.0 * (dim + 8)) * np.finfo(A.dtype).eps
+        thresh = eps_env * (aa + bb.max(axis=1)[:, None])  # (P, R)
+        suspect = p <= thresh[:, :, None]
+        if suspect.any():
+            pi, ri, ci = np.nonzero(suspect)
+            d = A[pi, ri, :] - B[pi, ci, :]
+            p[pi, ri, ci] = np.einsum("kd,kd->k", d, d)
         np.maximum(p, 0.0, out=p)
         return p
     P, R, dim = A.shape

@@ -65,13 +65,13 @@ def test_symmetry_and_nonnegativity(sa, sb):
 @settings(max_examples=30, deadline=None)
 @given(series_strategy())
 def test_identity(sa):
-    """d(A, A) ~ 0. The deg==2 fast path computes |a-b|^2 via the
-    aa+bb-2ab BLAS expansion, which leaves ~sqrt(eps)*|x| cancellation
-    residue on identical points (the direct-diff oracle is exactly 0) —
-    bounded here relative to the data magnitude."""
+    """d(A, A) == 0 exactly. The deg==2 fast path's BLAS expansion
+    rescues cancellation-dominated entries with a direct-difference
+    recompute (core._match_costs_block), so identical points score an
+    exact 0 — the metric identity, matching the reference's
+    direct-difference formulation (twed.c:139-159)."""
     A, TA = unpack(sa)
-    scale = max(1.0, float(np.abs(A).max()))
-    assert twed(A, TA, A, TA, NU, LAMB, 2) <= 1e-5 * scale * len(A)
+    assert twed(A, TA, A, TA, NU, LAMB, 2) == 0.0
 
 
 @settings(max_examples=25, deadline=None)
