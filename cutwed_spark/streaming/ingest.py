@@ -6,12 +6,13 @@ with ``readStream`` and resolves them incrementally via
 ``foreachBatch``:
 
   new turn files -> assemble + sign the NEW conversations only
-                 -> block them against the accumulated state table
-                    (signatures stored with the series: old transcripts
-                    are never re-read — the point of
-                    assemble.assemble_with_signatures)
+                 -> derive the NEW conversations' block keys and join
+                    them against the persisted block-key index (old
+                    transcripts are never re-read and old block keys
+                    are never re-derived: signatures live with the
+                    state, keys live in the append-only index)
                  -> score only pairs touching a new conversation
-                 -> append scored edges + new state
+                 -> append scored edges + new block keys + new state
 
 Invariant: a conversation's turns arrive within one file/microbatch
 (conversation-complete ingestion). For streams whose conversations SPAN
@@ -40,7 +41,6 @@ from cutwed_spark.operators.assemble import assemble_with_signatures
 from cutwed_spark.operators.blocking import (
     SIGNATURE_FAMILY_VERSION,
     block_keys_from_state,
-    prune_oversized_blocks,
 )
 from cutwed_spark.operators.clustering import assign_clusters
 from cutwed_spark.operators.scoring import score_candidates
@@ -59,6 +59,7 @@ STATE_FORMAT_VERSION = 2
 def _paths(work_dir: str) -> dict:
     return {
         "state": os.path.join(work_dir, "state"),
+        "keys": os.path.join(work_dir, "block_keys"),
         "scored": os.path.join(work_dir, "scored"),
         "stream_ckpt": os.path.join(work_dir, "stream_ckpt"),
     }
@@ -121,6 +122,57 @@ def _write_state_marker(state_dir: str) -> None:
             )
 
 
+def incremental_candidates(
+    spark: SparkSession, new_state: DataFrame, p: dict, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs touching a NEW conversation, from the persisted
+    block-key index — the accumulated state table is never rescanned
+    and its block keys are never re-derived.
+
+    Returns ``(cand, new_keys)``; the caller appends ``new_keys`` to the
+    index after the batch's writes succeed. Per-batch work is
+    O(new batch) key derivation + one narrow scan of the (conv_id,
+    block_key) index, restricted immediately to blocks a new
+    conversation touches — NOT O(full state) signature re-derivation
+    (the reference's device-resident-reuse principle,
+    /root/reference/src/cuTWED.h:47-53: don't recompute what hasn't
+    changed). Block-size pruning counts DISTINCT conv_ids per touched
+    block, so a replayed batch (crash between the keys append and the
+    stream checkpoint commit) cannot inflate sizes past ``max_block``.
+    """
+    new_keys = block_keys_from_state(new_state, cfg.band_size, cfg.num_hashes)
+    all_keys = (
+        spark.read.parquet(p["keys"]).unionByName(new_keys)
+        if os.path.isdir(p["keys"])
+        else new_keys
+    )
+    # Only blocks containing a new conversation can produce a new pair;
+    # everything else in the index is dead weight for this batch.
+    hot = new_keys.select("block_key").dropDuplicates(["block_key"])
+    touched = all_keys.join(hot, "block_key", "left_semi")
+    sized = touched.groupBy("block_key").agg(
+        F.count_distinct("conv_id").alias("block_size")
+    )
+    pair_keys = sized.where(
+        (F.col("block_size") >= 2) & (F.col("block_size") <= cfg.max_block)
+    ).select("block_key")
+    kept = touched.join(pair_keys, "block_key")
+    # one side restricted to NEW conversations: old-x-old pairs are
+    # structurally impossible, so incremental cost ~ new x neighborhood
+    kept_new = kept.join(new_state.select("conv_id"), "conv_id", "left_semi")
+    cand = (
+        kept.alias("l")
+        .join(kept_new.alias("r"), "block_key")
+        .where(F.col("l.conv_id") != F.col("r.conv_id"))
+        .select(
+            F.least("l.conv_id", "r.conv_id").alias("conv_id_a"),
+            F.greatest("l.conv_id", "r.conv_id").alias("conv_id_b"),
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+    return cand, new_keys
+
+
 def _incremental_batch(
     spark: SparkSession, batch_df: DataFrame, cfg: PipelineConfig, p: dict
 ) -> None:
@@ -133,51 +185,71 @@ def _incremental_batch(
         num_hashes=cfg.num_hashes,
         shingle_k=cfg.shingle_k,
     ).persist()
-    if new_state.isEmpty():
-        return
-    check_state_version(p["state"])
-    have_state = os.path.isdir(p["state"])
-    full = (
-        spark.read.parquet(p["state"]).unionByName(new_state)
-        if have_state
-        else new_state
-    )
-
-    blocks = block_keys_from_state(full, cfg.band_size, cfg.num_hashes).persist()
-    kept, _ = prune_oversized_blocks(blocks, cfg.max_block)
-    new_ids = new_state.select("conv_id")
-    # one side restricted to NEW conversations: old-x-old pairs are
-    # structurally impossible, so incremental cost ~ new x neighborhood
-    new_keys = kept.join(new_ids, "conv_id", "left_semi")
-    cand = (
-        kept.alias("l")
-        .join(new_keys.alias("r"), "block_key")
-        .where(F.col("l.conv_id") != F.col("r.conv_id"))
-        .select(
-            F.least("l.conv_id", "r.conv_id").alias("conv_id_a"),
-            F.greatest("l.conv_id", "r.conv_id").alias("conv_id_b"),
+    try:
+        if new_state.isEmpty():
+            return
+        check_state_version(p["state"])
+        # Marker BEFORE the first state append: a crash between the two
+        # must not leave compatible state that the version guard then
+        # rejects as pre-versioning.
+        os.makedirs(p["state"], exist_ok=True)
+        _write_state_marker(p["state"])
+        have_state = any(
+            f.endswith(".parquet") for f in os.listdir(p["state"])
         )
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
-    )
-    if os.path.isdir(p["scored"]):
-        prior = spark.read.parquet(p["scored"]).select("conv_id_a", "conv_id_b")
-        cand = cand.join(prior, ["conv_id_a", "conv_id_b"], "left_anti")
 
-    scored = score_candidates(
-        cand,
-        full,
-        dim=cfg.dim,
-        nu=cfg.nu,
-        lamb=cfg.lamb,
-        degree=cfg.degree,
-        time_scale=cfg.time_scale,
-        transfer_dtype=cfg.transfer_dtype,
-    )
-    scored.write.mode("append").parquet(p["scored"])
-    new_state.write.mode("append").parquet(p["state"])
-    _write_state_marker(p["state"])
-    new_state.unpersist()
-    blocks.unpersist()
+        cand, new_keys = incremental_candidates(spark, new_state, p, cfg)
+        new_keys = new_keys.persist()
+        if os.path.isdir(p["scored"]):
+            prior = spark.read.parquet(p["scored"]).select(
+                "conv_id_a", "conv_id_b"
+            )
+            cand = cand.join(prior, ["conv_id_a", "conv_id_b"], "left_anti")
+
+        # Scoring still reads the state table — candidate pairs need the
+        # OLD side's series payload. That is a payload fetch (column-
+        # pruned, join-filtered), not a recompute; at warehouse scale the
+        # state table should be bucketed by conv_id so this join
+        # co-locates without a shuffle of the big side.
+        full = (
+            spark.read.parquet(p["state"]).unionByName(new_state)
+            if have_state
+            else new_state
+        )
+        scored = score_candidates(
+            cand,
+            full,
+            dim=cfg.dim,
+            nu=cfg.nu,
+            lamb=cfg.lamb,
+            degree=cfg.degree,
+            time_scale=cfg.time_scale,
+            transfer_dtype=cfg.transfer_dtype,
+        )
+        # Write order is the crash-safety contract: scored -> keys ->
+        # state. The stream checkpoint commits only after this function
+        # returns, so a crash replays the whole batch; the replay is
+        # idempotent at every cut point (already-scored pairs are
+        # anti-joined away, replayed key rows are absorbed by the
+        # distinct-count pruning and pair-level dropDuplicates, and the
+        # state append is guarded by a conv_id anti-join below).
+        scored.write.mode("append").parquet(p["scored"])
+        new_keys.write.mode("append").parquet(p["keys"])
+        state_rows = new_state
+        if have_state:
+            # replay guard: a crash after the state append but before the
+            # stream-checkpoint commit replays the batch; without this
+            # narrow (conv_id-only) anti-join the replay would append the
+            # same conversations twice.
+            state_rows = new_state.join(
+                spark.read.parquet(p["state"]).select("conv_id"),
+                "conv_id",
+                "left_anti",
+            )
+        state_rows.write.mode("append").parquet(p["state"])
+        new_keys.unpersist()
+    finally:
+        new_state.unpersist()
 
 
 def run_incremental(
@@ -228,5 +300,7 @@ def finalize(
     thr = cfg.threshold if cfg.threshold is not None else 0.35
     edges = scored.where(F.col(cfg.score_col) <= F.lit(thr))
     state = spark.read.parquet(p["state"])
-    clusters, _ = assign_clusters(state.select("conv_id"), edges)
+    clusters, _ = assign_clusters(
+        state.select("conv_id").dropDuplicates(["conv_id"]), edges
+    )
     return edges, clusters
