@@ -445,11 +445,16 @@ def _dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_pairs_ctes(source: str, prefix: str = "") -> str:
+def _minhash_pairs_ctes(
+    source: str, prefix: str = "", verified: float | None = None
+) -> str:
     """The MinHash/LSH candidate-pair CTE chain over ``source``
     (a relation with doc_id, text); final CTE ``{prefix}mh_pairs``
-    holds (doc_id_a, doc_id_b). Shared by the standalone operator
-    oracle and the curation-funnel oracle."""
+    holds (doc_id_a, doc_id_b). With ``verified`` set, appends the
+    exact-Jaccard verification CTEs ending in ``{prefix}verified``
+    (doc_id_a, doc_id_b, jaccard >= verified) — mirroring
+    dedup.minhash_lsh_verified_pairs. Shared by the standalone operator
+    oracles and the curation-funnel oracle."""
     p = prefix
     mins = ",\n".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(12))
     bands = ",\n".join(
@@ -458,7 +463,7 @@ def _minhash_pairs_ctes(source: str, prefix: str = "") -> str:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, b{b} AS band_key FROM {p}banded" for b in range(6)
     )
-    return f"""
+    ctes = f"""
 {p}w AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
@@ -481,12 +486,53 @@ def _minhash_pairs_ctes(source: str, prefix: str = "") -> str:
   FROM {p}keys l JOIN {p}keys r
     ON l.band_key = r.band_key AND l.doc_id < r.doc_id
 )"""
+    if verified is None:
+        return ctes
+    return ctes + f""",
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh GROUP BY doc_id),
+{p}inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_shared
+  FROM {p}mh_pairs c
+  JOIN {p}sh a ON a.doc_id = c.doc_id_a
+  JOIN {p}sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+{p}verified AS (
+  SELECT i.doc_id_a, i.doc_id_b,
+         CAST(round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) AS DOUBLE) AS jaccard
+  FROM {p}inter i
+  JOIN {p}sizes sa ON sa.doc_id = i.doc_id_a
+  JOIN {p}sizes sb ON sb.doc_id = i.doc_id_b
+  WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= {verified}
+)"""
 
 
 def _minhash_oracle() -> str:
     return f"""
 WITH {_minhash_pairs_ctes("documents")}
 SELECT doc_id_a, doc_id_b FROM mh_pairs
+"""
+
+
+def _dedup_minhash_verified(spark, sf_dir):
+    """LSH candidates post-verified by exact Jaccard on the candidate
+    pairs only — the deletion-safe form (curation prunes on this)."""
+    from cutwed_spark.operators.dedup import minhash_lsh_verified_pairs
+
+    return minhash_lsh_verified_pairs(
+        _docs(spark, sf_dir),
+        k=3,
+        num_hashes=12,
+        band_size=2,
+        max_df=100,
+        min_jaccard=0.35,
+    )
+
+
+def _minhash_verified_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes("documents", verified=0.35)}
+SELECT doc_id_a, doc_id_b, jaccard FROM verified
 """
 
 
@@ -561,10 +607,10 @@ keep_exact AS (
     SELECT *, min(doc_id) OVER (PARTITION BY dup_hash) AS min_id FROM hashed
   ) WHERE doc_id = min_id
 ),
-{_minhash_pairs_ctes("keep_exact", "c_")},
+{_minhash_pairs_ctes("keep_exact", "c_", verified=0.5)},
 survivors AS (
   SELECT doc_id FROM keep_exact
-  WHERE doc_id NOT IN (SELECT doc_id_b FROM c_mh_pairs)
+  WHERE doc_id NOT IN (SELECT doc_id_b FROM c_verified)
 )
 SELECT (SELECT count(*) FROM documents)  AS n_input,
        (SELECT count(*) FROM qdocs)      AS n_after_quality,
@@ -1166,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_verified": _dedup_minhash_verified,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "curation_funnel": _curation_funnel,
@@ -1212,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_minhash_verified": _minhash_verified_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "curation_funnel": _curation_funnel_oracle(),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cutwed_spark.cache import scoped_persist
+
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE_K = 3
@@ -214,11 +216,10 @@ def prune_oversized_blocks(
     """
     # One pass: sized is tiny (one row per block key) — persist it so
     # the stats agg, the keep-keys broadcast, and the candidate join do
-    # NOT each recompute the shingle/minhash subtree.
-    sized = (
-        blocks.groupBy("block_key")
-        .agg(F.count(F.lit(1)).alias("block_size"))
-        .persist()
+    # NOT each recompute the shingle/minhash subtree. Scoped: released
+    # by an enclosing cache.cache_scope() (the pipeline wraps its run).
+    sized = scoped_persist(
+        blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
     )
     stats = sized.agg(
         F.count(F.lit(1)).alias("n_blocks"),

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cutwed_spark.operators.dedup import minhash_lsh_pairs, normalized_text
+from cutwed_spark.cache import scoped_persist
+from cutwed_spark.operators.dedup import minhash_lsh_verified_pairs, normalized_text
 from cutwed_spark.operators.textstats import quality_stats
 
 
@@ -33,6 +34,7 @@ def curate_documents(
     num_hashes: int = 12,
     band_size: int = 2,
     max_df: int = 100,
+    min_jaccard: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (survivors, funnel).
 
@@ -41,7 +43,19 @@ def curate_documents(
     n_after_neardup) — the per-stage retention record every curation
     run should emit (no silent drops; the dedup analog of blocking's
     cap-and-report contract).
+
+    Near-dup pruning drops only VERIFIED pairs (exact Jaccard >=
+    ``min_jaccard``, computed on the LSH candidates only): a
+    false-positive band collision between two unrelated documents can
+    never delete a distinct document from the curated set.
     """
+    if require_lang not in (None, "en"):
+        raise ValueError(
+            f"require_lang={require_lang!r} is not supported; the language "
+            f"gate is the stopword-ratio English heuristic — pass 'en' or "
+            f"None (silently ignoring an unknown language would skip the "
+            f"gate the caller asked for)"
+        )
     q = quality_stats(docs)
     gate = q.where(F.col("quality_score") >= min_quality)
     if require_lang == "en":
@@ -50,9 +64,9 @@ def curate_documents(
     # Each stage feeds both the next stage AND a funnel count (and the
     # returned survivors are consumed again by the caller) — persist the
     # stage outputs so the regex-heavy quality pass and the dedup window
-    # run once, not once per consumer. Session-lifetime caches (Spark
-    # evicts LRU); call spark.catalog.clearCache() between large runs.
-    qdocs = docs.join(quality_ids, "doc_id").persist()
+    # run once, not once per consumer. Run inside cache.cache_scope()
+    # for deterministic release (materialize the funnel first).
+    qdocs = scoped_persist(docs.join(quality_ids, "doc_id"))
 
     # exact dedup: drop every non-minimum member of a duplicate group
     dup_losers = (
@@ -63,16 +77,18 @@ def curate_documents(
         .where(F.col("doc_id") != F.col("min_id"))
         .select("doc_id")
     )
-    edocs = qdocs.join(dup_losers, "doc_id", "left_anti").persist()
+    edocs = scoped_persist(qdocs.join(dup_losers, "doc_id", "left_anti"))
 
-    # near-dup prune among exact-dedup survivors: for each LSH candidate
-    # pair keep the smaller id (pairs are TRIL-ordered already)
+    # near-dup prune among exact-dedup survivors: for each VERIFIED
+    # near-dup pair keep the smaller id (pairs are TRIL-ordered already)
     near_losers = (
-        minhash_lsh_pairs(edocs, k, num_hashes, band_size, max_df)
+        minhash_lsh_verified_pairs(
+            edocs, k, num_hashes, band_size, max_df, min_jaccard
+        )
         .select(F.col("doc_id_b").alias("doc_id"))
         .dropDuplicates(["doc_id"])
     )
-    survivors = edocs.join(near_losers, "doc_id", "left_anti").persist()
+    survivors = scoped_persist(edocs.join(near_losers, "doc_id", "left_anti"))
 
     funnel = (
         docs.agg(F.count(F.lit(1)).alias("n_input"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cutwed_spark.cache import scoped_persist
+
 
 def normalized_text(col: str = "text"):
     """Whitespace-collapsed lower-case normalization (shared with the
@@ -81,10 +83,10 @@ def ngram_jaccard_pairs(
     Output: (doc_id_a, doc_id_b, jaccard rounded to 4dp)."""
     # The shingle subtree feeds the size agg, the document-frequency
     # cut, AND both sides of the intersection self-join — without a
-    # persist it would re-shingle the corpus ~4x. The cache lives for
-    # the session (Spark evicts LRU under pressure); call
-    # spark.catalog.clearCache() between large corpus runs.
-    sh = doc_shingles(docs, k).persist()
+    # persist it would re-shingle the corpus ~4x. Run inside
+    # cache.cache_scope() for deterministic release; outside a scope the
+    # cache lives for the session (LRU-evicted).
+    sh = scoped_persist(doc_shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = _rare_shingles(sh, max_df)
     inter = (
@@ -113,18 +115,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    k: int = 3,
-    num_hashes: int = 12,
-    band_size: int = 2,
-    max_df: int = 100,
+def _minhash_band_pairs(
+    sh: DataFrame, num_hashes: int, band_size: int
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle -> k md5-minhashes ->
-    banded keys -> bucket self-join. Output: (doc_id_a, doc_id_b).
-    The shingle subtree persists across the df-cut and the signature
-    agg (two consumers)."""
-    sh = _rare_shingles(doc_shingles(docs, k).persist(), max_df)
+    """(doc_id, shingle) -> banded MinHash candidate pairs
+    (doc_id_a < doc_id_b)."""
     mins = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -150,6 +145,73 @@ def minhash_lsh_pairs(
             F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """MinHash+LSH near-dup CANDIDATES: shingle -> k md5-minhashes ->
+    banded keys -> bucket self-join. Output: (doc_id_a, doc_id_b).
+
+    These are band collisions, NOT verified near-duplicates — at
+    num_hashes=12 / band_size=2 a pair of Jaccard s collides with
+    probability 1-(1-s^2)^6 (~6% at s=0.1), so anything that DELETES
+    documents must verify first (:func:`minhash_lsh_verified_pairs`).
+    The shingle subtree persists across the df-cut and the signature
+    agg (two consumers); run inside cache.cache_scope() for
+    deterministic release."""
+    sh = _rare_shingles(scoped_persist(doc_shingles(docs, k)), max_df)
+    return _minhash_band_pairs(sh, num_hashes, band_size)
+
+
+def minhash_lsh_verified_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_df: int = 100,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidates post-verified by EXACT Jaccard over the full
+    shingle sets, computed only for the candidate pairs (|candidates| x
+    avg-shingles join work — never all-pairs). This is the form safe to
+    prune on: a false-positive band collision between unrelated
+    documents cannot delete a distinct document.
+    Output: (doc_id_a, doc_id_b, jaccard) with jaccard >= min_jaccard
+    (rounded to 4dp before the cut, mirroring the oracle SQL)."""
+    sh = scoped_persist(doc_shingles(docs, k))
+    cand = _minhash_band_pairs(_rare_shingles(sh, max_df), num_hashes, band_size)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "jaccard")
     )
 
 

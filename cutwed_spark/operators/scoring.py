@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cutwed_spark.twed.core import twed_pairs
+from cutwed_spark.twed.core import _root, twed_pairs
 
 SCORE_SCHEMA = (
     "conv_id_a string, conv_id_b string, n_a int, n_b int, "
@@ -46,19 +46,17 @@ def _self_delete_cost(V, T, L, nu, lamb, degree):
     """d(X, empty) per padded series: the delete-everything TWED path =
     sum of local delete costs + lambda*n + nu*t_last (htrans telescopes,
     twed.c:179-181). Normalizing d(A,B) by d(A,0)+d(0,B) gives a
-    length- and magnitude-invariant score in (0, 1]."""
+    length- and magnitude-invariant score in (0, 1].
+
+    Local costs follow the kernel's root convention (core._root):
+    degree<0 is the Marteau no-root repro mode (twed.c:114-119), so
+    ``twed_ratio`` stays consistent with the kernel there too."""
     deg = abs(int(degree))
     P, n_max, _ = V.shape
-    first = np.sqrt(np.sum(V[:, 0] ** 2, axis=-1)) if deg == 2 else np.sum(
-        np.abs(V[:, 0]) ** deg, axis=-1
-    ) ** (1.0 / deg)
+    first = _root(np.sum(np.abs(V[:, 0]) ** deg, axis=-1), degree, deg)
     if n_max >= 2:
         d = V[:, 1:] - V[:, :-1]
-        step = (
-            np.sqrt(np.sum(d**2, axis=-1))
-            if deg == 2
-            else np.sum(np.abs(d) ** deg, axis=-1) ** (1.0 / deg)
-        )
+        step = _root(np.sum(np.abs(d) ** deg, axis=-1), degree, deg)
         mask = np.arange(1, n_max)[None, :] < L[:, None]
         local = first + np.sum(step * mask, axis=1)
     else:

@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cutwed_spark.cache import cache_scope
 from cutwed_spark.operators.assemble import assemble_with_signatures, assembly_stats
 from cutwed_spark.operators.blocking import build_candidate_pairs_from_state
 from cutwed_spark.operators.clustering import assign_clusters
@@ -92,6 +93,13 @@ class PipelineResult:
     threshold: float
     metrics: dict = field(default_factory=dict)
     evaluation: dict | None = None
+
+    def unpersist(self) -> None:
+        """Release the result-backing caches (the twed_free_dev analog,
+        /root/reference/src/cuTWED.h:72-76). The DataFrames stay usable;
+        they recompute from source afterwards."""
+        for df in (self.series, self.candidate_pairs, self.scored, self.clusters):
+            df.unpersist()
 
 
 def _f1_curve(scores: np.ndarray, labels: np.ndarray) -> tuple[float, float]:
@@ -209,7 +217,9 @@ def run_pipeline(
             for k, v in assembly_stats(series).collect()[0].asDict().items()
         }
 
-    with stage("blocking"):
+    # cache_scope releases the blocking-internal block-size cache once
+    # the persisted pair table is materialized by the count below.
+    with stage("blocking"), cache_scope():
         pairs, block_stats = build_candidate_pairs_from_state(
             series,
             num_hashes=cfg.num_hashes,

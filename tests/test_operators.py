@@ -376,3 +376,84 @@ def test_multimodal_frame_sampling(spark):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in by_media.values():
         assert all(i % 2 == 0 for i in idxs)  # every 2nd frame kept
+
+
+def test_self_delete_cost_root_convention():
+    """_self_delete_cost must follow the kernel's root convention: at
+    degree=-2 (Marteau no-root repro mode, twed.c:114-119) local costs
+    are raw powered sums, so twed_ratio stays kernel-consistent."""
+    import numpy as np
+
+    from cutwed_spark.operators.scoring import _self_delete_cost
+    from cutwed_spark.twed.core import local_costs
+
+    rng = np.random.RandomState(3)
+    n, dim = 7, 4
+    A = rng.randn(n, dim)
+    T = np.cumsum(rng.rand(n) + 0.1)
+    nu, lamb = 0.7, 0.3
+    V = A[None, :, :]
+    TT = T[None, :]
+    L = np.array([n], dtype=np.int64)
+    for degree in (2, -2, 3, -3):
+        got = _self_delete_cost(V, TT, L, nu, lamb, degree)[0]
+        expected = local_costs(A, degree)[1:].sum() + lamb * n + nu * T[-1]
+        assert np.isclose(got, expected, rtol=1e-12), (degree, got, expected)
+    # and the no-root mode really differs from the rooted one
+    d_pos = _self_delete_cost(V, TT, L, nu, lamb, 2)[0]
+    d_neg = _self_delete_cost(V, TT, L, nu, lamb, -2)[0]
+    assert not np.isclose(d_pos, d_neg)
+
+
+def test_minhash_verified_pairs(docs, spark):
+    """Verified pairs = LSH candidates post-filtered by exact Jaccard on
+    the full shingle sets — must equal the naive all-pairs Jaccard
+    filter intersected with the candidate set (verification adds no
+    pairs and keeps no unrelated collision)."""
+    from cutwed_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_verified_pairs,
+    )
+
+    cand = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_lsh_verified_pairs(docs, min_jaccard=0.5).collect()
+    }
+    naive = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=10**9).collect()
+    }
+    assert set(got) == {p for p in naive if p in cand}
+    for p, j in got.items():
+        assert j >= 0.5 and abs(j - naive[p]) < 1e-9
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0
+
+
+def test_curation_require_lang_validation(spark):
+    from cutwed_spark.operators.curation import curate_documents
+
+    docs = spark.createDataFrame([(0, "hello")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="require_lang"):
+        curate_documents(docs, require_lang="fr")
+
+
+def test_cache_scope_releases_operator_persists(spark):
+    """After a funnel run inside cache_scope, no net-new persisted RDDs
+    remain (the twed_free_dev analog for operator-internal caches)."""
+    from cutwed_spark.cache import cache_scope
+    from cutwed_spark.operators.curation import curate_documents
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    rows = [(i, f"document number {i} about topic {i % 3} with words") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    before = n_persisted()
+    with cache_scope():
+        survivors, funnel = curate_documents(docs)
+        funnel.collect()
+        assert n_persisted() > before  # caches alive inside the scope
+    assert n_persisted() == before
