@@ -817,11 +817,14 @@ def _emb_ann_topk(spark, sf_dir):
     )
 
 
-def _emb_ann_topk_oracle() -> str:
+def _lsh_topk_oracle(n_planes: int, k: int) -> str:
+    """LSH top-k oracle with the engine's deterministic md5 hyperplanes
+    reproduced as literal DOUBLE arrays (shared by the fixed-plane and
+    auto-sized driver entries)."""
     from cutwed_spark.operators.similarity import _hyperplane
 
     terms = []
-    for p in range(4):
+    for p in range(n_planes):
         plane = _hyperplane(EMBEDDING_DIM, p)
         arr = "[" + ", ".join(repr(v) for v in plane) + "]"
         terms.append(
@@ -848,8 +851,29 @@ ranked AS (
   FROM cand
 )
 SELECT vec_id, neighbor_id, cos, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= {k}
 """
+
+
+def _emb_ann_topk_oracle() -> str:
+    return _lsh_topk_oracle(n_planes=4, k=3)
+
+
+def _emb_topk_auto(spark, sf_dir):
+    """The DEFAULT neighbor API (topk_neighbors): LSH path with n_planes
+    auto-sized to the corpus via suggest_n_planes — the scale-safe
+    default users get without tuning. At the driver's sf0.01 table
+    (500 embeddings, target_bucket=256) suggest_n_planes resolves to its
+    floor of 4, which the oracle below pins; at other scales the
+    auto-sizing grows the plane count and the fixed oracle no longer
+    applies (the correctness gate runs at sf0.01)."""
+    from cutwed_spark.operators.similarity import topk_neighbors
+
+    return topk_neighbors(_emb(spark, sf_dir), dim=EMBEDDING_DIM, k=5)
+
+
+def _emb_topk_auto_oracle() -> str:
+    return _lsh_topk_oracle(n_planes=4, k=5)
 
 
 def _emb_near_dup_lsh(spark, sf_dir):
@@ -1225,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_lsh_buckets": _emb_lsh_buckets,
         "emb_ann_topk": _emb_ann_topk,
+        "emb_topk_auto": _emb_topk_auto,
         "emb_ivf_topk": _emb_ivf_topk,
         # multimodal (binary media columns, mapInPandas plumbing)
         "mm_decode_meta": _mm_decode_meta,
@@ -1272,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "emb_lsh_buckets": _lsh_buckets_oracle(),
         "emb_ann_topk": _emb_ann_topk_oracle(),
+        "emb_topk_auto": _emb_topk_auto_oracle(),
         "emb_ivf_topk": IVF_TOPK_ORACLE,
         "mm_decode_meta": MM_DECODE_META_ORACLE,
         "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,

@@ -109,7 +109,15 @@ def per_turn_member_mins(shb, num_hashes: int, prefix: str = "m") -> list:
     """num_hashes per-turn partial-min columns over an array<bigint> of
     shingle base hashes. Family member i of base hash b is
     xxhash64(b, i) (bigint re-hash — an independent family, cheap on
-    fixed width). An empty array folds to the _LONG_MAX sentinel."""
+    fixed width). An empty array folds to the _LONG_MAX sentinel.
+
+    Measured negative result (round 3): deriving members by double
+    hashing (h1 + i*h2 from a materialized array<struct<h1,h2>>, one
+    xxhash64 per element instead of num_hashes) is ~1.7x SLOWER than
+    these folds at num_hashes=40 — fixed-width xxhash64 is cheap in
+    codegen and the struct-array materialization + per-element field
+    extraction dominates. The fold cost is traversal, not hashing;
+    don't "optimize" the hash count."""
 
     def _merge(i):
         return lambda acc, b: F.least(acc, F.xxhash64(b, F.lit(i)))

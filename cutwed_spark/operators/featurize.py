@@ -19,6 +19,14 @@ Layout of the vector (default n_buckets=8 -> dim=14):
 Deterministic, locale-free, and cheap; duplicates with small word edits
 land at small L2 distance per turn, so TWED separates them from
 same-topic non-duplicates.
+
+The word-bucket array is materialized as an aliased column in its OWN
+projection before the n_buckets count filters consume it: Spark skips
+common-subexpression elimination inside higher-order-function lambdas,
+so inlining the split+lower+xxhash64 tree into every filter recomputes
+it n_buckets times (measured ~3.8x on this stage at n_buckets=16; same
+trap as assemble.assemble_with_signatures). The non-cheap multiply-
+referenced alias also stops CollapseProject from undoing the split.
 """
 
 from __future__ import annotations
@@ -38,26 +46,15 @@ def words_col(text: str = "text") -> Column:
     return F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda w: w != "")
 
 
-def turn_features(
-    n_buckets: int = DEFAULT_BUCKETS,
-    bucket_scale: float = 1.0,
-    role_scale: float = 3.0,
+def _feature_array(
+    wb: Column,
+    n_buckets: int,
+    bucket_scale: float,
+    role_scale: float,
 ) -> Column:
-    """array<double> feature vector for one turn row (needs columns
-    text, role, tool).
-
-    ``bucket_scale`` weights the text signal (raises non-duplicate
-    distances), ``role_scale`` weights the role signal (raises the
-    local delete costs of consecutive turns — cheap role_scale makes
-    TWED's delete ops affordable for planted insert/delete edits).
-    """
-    w = words_col()
-    # Hash every word ONCE into its bucket id, then count per bucket over
-    # the small int array — n_buckets separate filters over the word
-    # array would re-run xxhash64 on every word n_buckets times (string
-    # hashing is the dominant cost of this stage; measured ~2x stage
-    # speedup at n_buckets=16).
-    wb = F.transform(w, lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)))
+    """array<double> feature vector from a MATERIALIZED word-bucket-id
+    array column ``wb`` plus the raw text/role/tool columns. ``size(wb)``
+    doubles as the word count (one bucket id per word)."""
     buckets = [
         (
             F.size(F.filter(wb, lambda h: h == k)) * F.lit(float(bucket_scale))
@@ -75,14 +72,16 @@ def turn_features(
         (F.pmod(F.xxhash64(F.col("tool")), F.lit(7)) + F.lit(1)).cast("double"),
     ).otherwise(F.lit(0.0))
     n_chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
-    n_words = F.size(w).cast("double")
+    n_words = F.size(wb).cast("double")
     surface = [
         role_code * F.lit(float(role_scale)),
         tool_code,
         F.log1p(n_chars),
         n_words,
         F.when(n_words > 0, n_chars / n_words).otherwise(0.0),
-        F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^.!?,;:]", "")).cast("double"),
+        F.length(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^.!?,;:]", "")
+        ).cast("double"),
     ]
     return F.array(*buckets, *surface)
 
@@ -98,13 +97,20 @@ def with_turn_features(
     (per-turn text-equality invariant carrier) + ``t: double`` (epoch
     seconds, float64 — the TWED time axis, matching the reference's
     plain-float time stamps, /root/reference/cuTWED/cuTWED.py:38-44)."""
-    return df.withColumns(
-        {
-            out: turn_features(n_buckets, bucket_scale, role_scale),
-            "text_hash": F.xxhash64(F.col("text")),
-            # cast covers TIMESTAMP_NTZ parquet columns (session TZ is UTC)
-            "t": (
-                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
-            ).cast("double"),
-        }
+    staged = df.select(
+        "*",
+        F.transform(
+            words_col(), lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
+        ).alias("_wb"),
+    )
+    return staged.select(
+        *df.columns,
+        _feature_array(
+            F.col("_wb"), n_buckets, bucket_scale, role_scale
+        ).alias(out),
+        F.xxhash64(F.col("text")).alias("text_hash"),
+        # cast covers TIMESTAMP_NTZ parquet columns (session TZ is UTC)
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+        ).cast("double").alias("t"),
     )
