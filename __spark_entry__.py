@@ -817,32 +817,45 @@ def _emb_ann_topk(spark, sf_dir):
     )
 
 
-def _lsh_topk_oracle(n_planes: int, k: int) -> str:
-    """LSH top-k oracle with the engine's deterministic md5 hyperplanes
-    reproduced as literal DOUBLE arrays (shared by the fixed-plane and
-    auto-sized driver entries)."""
+def _duck_bucket_expr(n_planes: int, table: int) -> str:
+    """DuckDB expression for one LSH table's bucket id, reproducing the
+    engine's deterministic md5 hyperplanes (similarity._table_bucket)."""
     from cutwed_spark.operators.similarity import _hyperplane
 
     terms = []
     for p in range(n_planes):
-        plane = _hyperplane(EMBEDDING_DIM, p)
+        plane = _hyperplane(EMBEDDING_DIM, table * n_planes + p)
         arr = "[" + ", ".join(repr(v) for v in plane) + "]"
         terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
             f"THEN {2**p} ELSE 0 END)"
         )
-    expr = " + ".join(terms)
+    return " + ".join(terms) + f" + {table * 2**n_planes}"
+
+
+def _lsh_topk_oracle(n_planes: int, k: int, n_tables: int = 1) -> str:
+    """LSH top-k oracle (shared by the fixed-plane and auto-sized driver
+    entries); with n_tables > 1 the candidate set is the union of
+    same-bucket pairs over the independent tables (DISTINCT collapses
+    multi-table collisions, exactly like the Spark path)."""
+    tables = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, nrm, CAST({_duck_bucket_expr(n_planes, t)} AS INT)"
+        f" AS bucket FROM e"
+        for t in range(n_tables)
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
-         CAST({expr} AS INT) AS bucket
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ),
+kb AS (
+{tables}
+),
 cand AS (
-  SELECT a.vec_id, b.vec_id AS neighbor_id,
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
          CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT vec_id, neighbor_id, cos,
@@ -861,19 +874,20 @@ def _emb_ann_topk_oracle() -> str:
 
 def _emb_topk_auto(spark, sf_dir):
     """The DEFAULT neighbor API (topk_neighbors): LSH path with n_planes
-    auto-sized to the corpus via suggest_n_planes — the scale-safe
-    default users get without tuning. At the driver's sf0.01 table
-    (500 embeddings, target_bucket=256) suggest_n_planes resolves to its
-    floor of 4, which the oracle below pins; at other scales the
-    auto-sizing grows the plane count and the fixed oracle no longer
-    applies (the correctness gate runs at sf0.01)."""
+    auto-sized via suggest_n_planes and 4 independent tables for recall
+    (1-(1-p)^4) — the scale-safe default users get without tuning. At
+    the driver's sf0.01 table (500 embeddings, target_bucket=256)
+    suggest_n_planes resolves to its floor of 4, which the oracle below
+    pins; at other scales the auto-sizing grows the plane count and the
+    fixed oracle no longer applies (the correctness gate runs at
+    sf0.01)."""
     from cutwed_spark.operators.similarity import topk_neighbors
 
     return topk_neighbors(_emb(spark, sf_dir), dim=EMBEDDING_DIM, k=5)
 
 
 def _emb_topk_auto_oracle() -> str:
-    return _lsh_topk_oracle(n_planes=4, k=5)
+    return _lsh_topk_oracle(n_planes=4, k=5, n_tables=4)
 
 
 def _emb_near_dup_lsh(spark, sf_dir):

@@ -457,3 +457,36 @@ def test_cache_scope_releases_operator_persists(spark):
         funnel.collect()
         assert n_persisted() > before  # caches alive inside the scope
     assert n_persisted() == before
+
+
+def test_multi_table_lsh_recall_dominates(spark):
+    """Multi-table LSH candidates are a superset of single-table ones
+    (table 0 is shared), so recall@k vs exact cosine can only improve;
+    on a planted-cluster corpus the 4-table recall must be strictly
+    higher than single-table."""
+    import numpy as np
+
+    from cutwed_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 240
+    base = rng.randn(n // 4, dim)
+    rows = []
+    for i in range(n):
+        v = base[i % (n // 4)] + 0.45 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def pairs(df):
+        return {(r["vec_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, k=5))
+    one = pairs(lsh_cosine_topk(emb, dim, k=5, n_planes=4, n_tables=1))
+    four = pairs(lsh_cosine_topk(emb, dim, k=5, n_planes=4, n_tables=4))
+    r1 = len(exact & one) / len(exact)
+    r4 = len(exact & four) / len(exact)
+    assert r4 > r1, (r1, r4)
+    assert r4 >= 0.5, r4
