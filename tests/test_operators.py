@@ -446,17 +446,19 @@ def test_cache_scope_releases_operator_persists(spark):
     from cutwed_spark.cache import cache_scope
     from cutwed_spark.operators.curation import curate_documents
 
-    def n_persisted():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persisted_ids():
+        # set of ids, not a count: the ContextCleaner may concurrently
+        # GC-unpersist caches left by other tests in this session
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
 
     rows = [(i, f"document number {i} about topic {i % 3} with words") for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    before = n_persisted()
+    before = persisted_ids()
     with cache_scope():
         survivors, funnel = curate_documents(docs)
         funnel.collect()
-        assert n_persisted() > before  # caches alive inside the scope
-    assert n_persisted() == before
+        assert persisted_ids() - before  # caches alive inside the scope
+    assert not (persisted_ids() - before)  # no net-new after exit
 
 
 def test_multi_table_lsh_recall_dominates(spark):
@@ -490,3 +492,60 @@ def test_multi_table_lsh_recall_dominates(spark):
     r4 = len(exact & four) / len(exact)
     assert r4 > r1, (r1, r4)
     assert r4 >= 0.5, r4
+
+
+def test_deterministic_sample_properties(spark):
+    """Membership is a pure function of (key, salt): append-stable,
+    rerun-stable, salt-independent samples, map-only plan."""
+    from cutwed_spark.operators.sampling import deterministic_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], "doc_id bigint, text string"
+    )
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    assert s1 == s2  # rerun-stable
+    assert 0.12 <= len(s1) / 2000 <= 0.28  # ~Bernoulli(0.2)
+    # append-stable: membership of old rows unchanged by new rows
+    more = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000, 3000)],
+        "doc_id bigint, text string",
+    )
+    s3 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.unionByName(more), 0.2).collect()
+    }
+    assert {d for d in s3 if d < 2000} == s1
+    # different salts give (near-)independent samples, not subsets
+    s_holdout = {
+        r["doc_id"] for r in deterministic_sample(docs, 0.2, salt="eval").collect()
+    }
+    assert s_holdout != s1
+    # smaller rate nests inside larger rate at the SAME salt
+    s_small = {r["doc_id"] for r in deterministic_sample(docs, 0.05).collect()}
+    assert s_small <= s1
+    # map-only: no Exchange in the plan
+    plan = deterministic_sample(docs, 0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(docs, 1.5)
+
+
+def test_stratified_sample_quota_and_nesting(spark):
+    from cutwed_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "fr"][i % 2], f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, source string")
+    out = stratified_sample(docs, ["lang", "source"], 7).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r)
+    assert len(by_stratum) == 6
+    for rows_ in by_stratum.values():
+        assert len(rows_) == 7
+        assert sorted(r["smp_rank"] for r in rows_) == list(range(1, 8))
+    # nested prefix: rank <= 3 equals an n_per_stratum=3 run
+    small = {
+        r["doc_id"] for r in stratified_sample(docs, ["lang", "source"], 3).collect()
+    }
+    assert small == {r["doc_id"] for r in out if r["smp_rank"] <= 3}
