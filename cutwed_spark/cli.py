@@ -99,6 +99,62 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation funnel over a documents parquet:
+    quality gate -> exact dedup -> verified near-dup prune."""
+    from cutwed_spark.cache import cache_scope
+    from cutwed_spark.operators.curation import curate_documents
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    os.makedirs(args.output, exist_ok=True)
+    with cache_scope():
+        survivors, funnel = curate_documents(
+            docs,
+            min_quality=args.min_quality,
+            require_lang=args.require_lang or None,
+            min_jaccard=args.min_jaccard,
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(args.output, "curated")
+        )
+        counts = funnel.collect()[0].asDict()
+    with open(os.path.join(args.output, "funnel.json"), "w") as fh:
+        json.dump(counts, fh, indent=2)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Incremental ER over a directory of transcript parquet drops:
+    process available files (availableNow), then threshold + cluster
+    the accumulated state."""
+    from cutwed_spark.plans.pipeline import PipelineConfig
+    from cutwed_spark.streaming.ingest import finalize, run_incremental
+
+    spark = _spark(args)
+    cfg = PipelineConfig(threshold=args.threshold)
+    run_incremental(
+        spark,
+        args.input,
+        args.work,
+        cfg,
+        max_files_per_trigger=args.max_files,
+    )
+    edges, clusters = finalize(spark, args.work, cfg)
+    out = args.output or os.path.join(args.work, "out")
+    os.makedirs(out, exist_ok=True)
+    edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
+    clusters.write.mode("overwrite").parquet(os.path.join(out, "clusters"))
+    summary = {
+        "n_match_edges": edges.count(),
+        "n_clusters": clusters.select("cluster_id").distinct().count(),
+        "out": out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cutwed_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -131,6 +187,30 @@ def main(argv=None) -> int:
                     default=None)
     pr.add_argument("--write-scored", dest="write_scored", action="store_true")
     pr.set_defaults(fn=cmd_run)
+
+    pc = sub.add_parser("curate", help="curation funnel over documents")
+    pc.add_argument("--input", required=True, help="documents parquet path")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--min-quality", dest="min_quality", type=float, default=0.5)
+    pc.add_argument("--require-lang", dest="require_lang", default="en",
+                    help="'en' or '' to disable the language gate")
+    pc.add_argument("--min-jaccard", dest="min_jaccard", type=float, default=0.5,
+                    help="near-dup prune threshold (verified exact Jaccard)")
+    pc.add_argument("--master", default=None)
+    pc.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
+                    default=None)
+    pc.set_defaults(fn=cmd_curate)
+
+    pt = sub.add_parser("stream", help="incremental ER over parquet drops")
+    pt.add_argument("--input", required=True, help="directory of parquet drops")
+    pt.add_argument("--work", required=True, help="state/checkpoint work dir")
+    pt.add_argument("--output", default=None, help="default <work>/out")
+    pt.add_argument("--threshold", type=float, default=0.35)
+    pt.add_argument("--max-files", dest="max_files", type=int, default=None)
+    pt.add_argument("--master", default=None)
+    pt.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
+                    default=None)
+    pt.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -56,3 +56,59 @@ def test_cli_synth_and_run(spark, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out, "clusters"))
     assert os.path.isdir(os.path.join(out, "edges"))
     assert any(f.startswith("metrics_") for f in os.listdir(out))
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """curate subcommand: funnel counts on stdout + curated parquet +
+    funnel.json on disk."""
+    import pandas as pd
+
+    from cutwed_spark.cli import main
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                "the quick brown fox jumps over the lazy dog and it runs far "
+                f"away into the field while the sun is high number {i % 20}"
+                for i in range(40)
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src, index=False)
+    out = str(tmp_path / "cur")
+    assert main(["curate", "--input", src, "--output", out,
+                 "--master", "local[4]"]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    counts = json.loads(line)
+    assert counts["n_input"] == 40
+    # doc i and doc i+20 are exact duplicates -> exact stage halves it
+    assert counts["n_after_exact"] == 20
+    assert os.path.isfile(os.path.join(out, "funnel.json"))
+    assert spark.read.parquet(os.path.join(out, "curated")).count() == counts[
+        "n_after_neardup"
+    ]
+
+
+def test_cli_stream(spark, tmp_path, capsys):
+    """stream subcommand: incremental ingest over two drops, then
+    finalize writes edges/clusters."""
+    from cutwed_spark.cli import main
+    from cutwed_spark.sources.synth import synth_corpus
+
+    tr, _ = synth_corpus(60)
+    tr = tr.assign(ts=tr["ts"].astype("datetime64[us]"))
+    convs = sorted(tr.conv_id.unique())
+    half = set(convs[: len(convs) // 2])
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    tr[tr.conv_id.isin(half)].to_parquet(in_dir / "d1.parquet", index=False)
+    tr[~tr.conv_id.isin(half)].to_parquet(in_dir / "d2.parquet", index=False)
+    work = str(tmp_path / "work")
+    assert main(["stream", "--input", str(in_dir), "--work", work,
+                 "--threshold", "0.5", "--max-files", "1",
+                 "--master", "local[4]"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_match_edges"] > 0
+    assert spark.read.parquet(os.path.join(summary["out"], "clusters")).count() > 0
