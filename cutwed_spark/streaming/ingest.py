@@ -285,6 +285,67 @@ def run_incremental(
     return q
 
 
+def _compact_dir(
+    spark: SparkSession, path: str, dedup_cols: list[str], n_files: int
+) -> tuple[int, int]:
+    """Rewrite a parquet dir to ``n_files`` files, deduped on
+    ``dedup_cols``; returns (files_before, files_after). Swap is two
+    renames — run with the stream stopped (documented, not enforced)."""
+    import shutil
+
+    def _n_parquet(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = _n_parquet(path)
+    df = spark.read.parquet(path).dropDuplicates(dedup_cols)
+    tmp = path + "._compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # preserve underscore-prefixed sidecars (the version marker)
+    for f in os.listdir(path):
+        if f.startswith("_") and os.path.isfile(os.path.join(path, f)):
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+    old = path + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    # drop Spark's cached file listing for the path — readers planned
+    # before the swap would otherwise chase the deleted file names
+    spark.catalog.refreshByPath(path)
+    return before, _n_parquet(path)
+
+
+def compact_stream_state(
+    spark: SparkSession, work_dir: str, target_files: int | None = None
+) -> dict:
+    """Maintenance pass for a long-lived incremental work dir: every
+    microbatch appends one file-set each to the block-key index, the
+    scored table, and the state table, so after thousands of batches
+    the per-batch narrow scans pay footer/listing overhead per tiny
+    file (the classic streaming small-files problem). Rewrites each
+    table to ``target_files`` files (default: the session's shuffle
+    partitions), deduping replay artifacts on the way (keys on
+    (conv_id, block_key), scored on the pair, state on conv_id).
+
+    Run while the stream is STOPPED — the directory swap is two
+    renames, and a concurrent append between them would be lost.
+    Returns {table: {"files_before": n, "files_after": m}}.
+    """
+    p = _paths(work_dir)
+    n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    plan = {
+        "keys": (p["keys"], ["conv_id", "block_key"]),
+        "scored": (p["scored"], ["conv_id_a", "conv_id_b"]),
+        "state": (p["state"], ["conv_id"]),
+    }
+    out = {}
+    for name, (path, cols) in plan.items():
+        if not os.path.isdir(path):
+            continue
+        before, after = _compact_dir(spark, path, cols, n)
+        out[name] = {"files_before": before, "files_after": after}
+    return out
+
+
 def finalize(
     spark: SparkSession, work_dir: str, cfg: PipelineConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:

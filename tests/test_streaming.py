@@ -136,3 +136,32 @@ def test_incremental_candidates_scan_only_index(spark, split_corpus):
     ), "candidate plan rescans the state table"
     # and the candidates still work end-to-end for this batch
     assert cand.count() >= 0
+
+
+def test_compact_stream_state(spark, split_corpus, tmp_path):
+    """Compaction shrinks the per-batch file accumulation without
+    changing finalize's answer, and the version marker survives."""
+    import shutil
+
+    from cutwed_spark.streaming.ingest import (
+        _state_version_marker,
+        compact_stream_state,
+    )
+
+    in_dir, work_dir, _, _ = split_corpus
+    # work on a COPY so the other module tests keep their fixture state
+    work2 = str(tmp_path / "work2")
+    shutil.copytree(work_dir, work2)
+    cfg = PipelineConfig(threshold=THRESHOLD)
+    e_before, c_before = finalize(spark, work2, cfg)
+    edges_before = {(r["conv_id_a"], r["conv_id_b"]) for r in e_before.collect()}
+    n_clusters_before = c_before.count()  # materialize pre-swap plans now
+    stats = compact_stream_state(spark, work2, target_files=2)
+    assert set(stats) == {"keys", "scored", "state"}
+    for s in stats.values():
+        assert s["files_after"] <= max(s["files_before"], 2)
+        assert s["files_after"] <= 2
+    assert os.path.isfile(_state_version_marker(os.path.join(work2, "state")))
+    e_after, c_after = finalize(spark, work2, cfg)
+    assert {(r["conv_id_a"], r["conv_id_b"]) for r in e_after.collect()} == edges_before
+    assert c_after.count() == n_clusters_before
