@@ -135,7 +135,9 @@ def run_pipeline_bench(n_cores: int) -> dict:
     res.series.unpersist(blocking=True)
     assemble_times = [res.metrics["stages"]["assemble"]]
     tr_part = tr.repartition(2 * n_cores, "conv_id")
-    for _ in range(2):
+    # 2 re-runs de-noise the headline (big) arm; the small arm's steady
+    # assemble is secondary — 1 re-run keeps total bench wall bounded.
+    for _ in range(2 if n_cores >= CPUS else 1):
         t1 = _time.monotonic()
         assemble_with_signatures(
             tr_part,
