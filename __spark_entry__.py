@@ -666,6 +666,34 @@ FROM r WHERE smp_rank <= 10
 """
 
 
+def _doc_length_quantiles(spark, sf_dir):
+    """Per-source corpus-shape stats: exact linear-interpolation
+    percentiles of document length — the profile query every curation
+    run starts with. Exact percentile (not approx) so the DuckDB
+    quantile_cont oracle matches bit-for-bit after rounding."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+DOC_LENGTH_QUANTILES_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE)  AS p50_chars,
+       CAST(round(quantile_cont(n_chars, 0.9), 4) AS DOUBLE)  AS p90_chars,
+       CAST(round(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 def _text_quality(spark, sf_dir):
     from cutwed_spark.operators.textstats import quality_stats
 
@@ -792,6 +820,48 @@ SELECT doc_id, md5(norm) AS fingerprint,
        md5(substring(norm, 1, 64)) AS prefix_fingerprint,
        winnow_fingerprint
 FROM grams
+"""
+
+
+def _text_hashed_embedding(spark, sf_dir):
+    """Feature-hashing ("hashing trick") text embedder: the no-model
+    baseline that connects the documents table to the similarity stack.
+    Driver entry posexplodes the vector to long format (doc_id,
+    dim_idx, component) so the value-hash compare sees scalars, never
+    engine-specific array renderings."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.textstats import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf_dir), dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "component")
+    )
+
+
+def _hashed_embedding_oracle(dim: int = 16) -> str:
+    sums = ",\n".join(
+        f"sum(CASE WHEN ('0x' || substring(md5(word), 1, 8))::BIGINT % {dim} = {j} "
+        f"THEN (CASE WHEN ('0x' || substring(md5(word), 9, 1))::BIGINT % 2 = 1 "
+        f"THEN 1 ELSE -1 END) ELSE 0 END) AS s{j}"
+        for j in range(dim)
+    )
+    nrm = " + ".join(f"s{j} * s{j}" for j in range(dim))
+    comp = " ".join(
+        f"WHEN {j} THEN CASE WHEN nrm > 0 THEN round(s{j} / nrm, 4) ELSE 0.0 END"
+        for j in range(dim)
+    )
+    dims = ", ".join(f"({j})" for j in range(dim))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+sums AS (SELECT doc_id, {sums} FROM w WHERE word <> '' GROUP BY doc_id),
+n AS (SELECT *, sqrt(CAST({nrm} AS DOUBLE)) AS nrm FROM sums)
+SELECT doc_id, CAST(j AS INT) AS dim_idx,
+       CAST(CASE j {comp} END AS DOUBLE) AS component
+FROM n CROSS JOIN (VALUES {dims}) AS dims(j)
 """
 
 
@@ -1306,10 +1376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "sample_uniform": _sample_uniform,
         "sample_stratified": _sample_stratified,
+        "doc_length_quantiles": _doc_length_quantiles,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_fingerprints": _text_fingerprints,
+        "text_hashed_embedding": _text_hashed_embedding,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
@@ -1356,10 +1428,12 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _curation_funnel_oracle(),
         "sample_uniform": SAMPLE_UNIFORM_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+        "doc_length_quantiles": DOC_LENGTH_QUANTILES_ORACLE,
         "text_quality": _quality_oracle(),
         "text_lang_id": _lang_id_oracle(),
         "text_token_counts": _token_counts_oracle(),
         "text_fingerprints": FINGERPRINTS_ORACLE,
+        "text_hashed_embedding": _hashed_embedding_oracle(),
         "emb_cosine_topk": EMB_COSINE_TOPK_ORACLE,
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),

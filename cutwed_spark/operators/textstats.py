@@ -127,3 +127,52 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
         winnow.alias("winnow_fingerprint"),
     )
+
+
+def hashed_embedding(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-hashing text embedding (the "hashing trick"): word w
+    adds sign(w) to component bucket(w), then L2-normalize. No model,
+    no vocabulary, deterministic and engine-portable (md5-derived
+    bucket + sign, like simhash_docs) — the scalable baseline embedder
+    that connects the documents table to the similarity stack
+    (cosine_topk / topk_neighbors / embedding near-dup) when no neural
+    embedder is available. One explode + one groupBy (map-side partial
+    agg). Output: (doc_id, embedding array<double>), components
+    rounded to 4dp AFTER normalization so the DuckDB oracle matches
+    exactly; all-empty docs embed as the zero vector.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
+    ).where(F.col("word") != "")
+    h = F.md5(F.col("word"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(dim)
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    # Materialize bucket/sign ONCE per word in their own projection,
+    # then branch on the cheap scalar columns: inlining the md5 tree in
+    # dim conditional columns blows codegen past janino's method limit
+    # (interpreted fallback) and recomputes the hash up to 2*dim times.
+    hashed = words.select("doc_id", bucket.alias("b"), sign.alias("s"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0)).alias(f"s{j}")
+            for j in range(dim)
+        ]
+    )
+    # Same codegen discipline for the norm: alias it in its own
+    # projection so the 2*dim references below stay one sqrt per row
+    # (CollapseProject keeps the split — the alias is non-cheap and
+    # multiply-referenced).
+    nrm_expr = F.sqrt(
+        sum(F.col(f"s{j}") * F.col(f"s{j}") for j in range(dim)).cast("double")
+    )
+    n = sums.select("*", nrm_expr.alias("nrm"))
+    nrm = F.col("nrm")
+    emb = F.array(
+        *[
+            F.when(nrm > 0, F.round(F.col(f"s{j}") / nrm, 4)).otherwise(F.lit(0.0))
+            for j in range(dim)
+        ]
+    )
+    return n.select("doc_id", emb.alias("embedding"))

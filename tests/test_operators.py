@@ -315,6 +315,27 @@ def test_token_counts(docs):
     assert t[0]["est_bpe_tokens"] >= t[0]["n_words"]
 
 
+def test_hashed_embedding(docs):
+    from cutwed_spark.operators.textstats import hashed_embedding
+
+    emb = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hashed_embedding(docs, dim=16).collect()
+    }
+    # normalization-invariant: exact dups (0, 1) and case/space dup (2)
+    # hash to the identical vector
+    assert np.array_equal(emb[0], emb[1])
+    assert np.array_equal(emb[0], emb[2])
+    # L2-normalized (4dp rounding happens per-component after normalize)
+    for v in emb.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-2
+    # one-word swap stays close; unrelated text does not
+    cos_near = float(emb[0] @ emb[3])
+    cos_far = float(emb[0] @ emb[4])
+    assert cos_near > 0.8
+    assert cos_near > cos_far
+
+
 def test_multimodal_decode(spark):
     media = synth_media(spark, n=30)
     out = decode_media(media).collect()
