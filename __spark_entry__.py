@@ -195,6 +195,117 @@ SELECT user_id FROM events WHERE event_type = 'error'
 GROUP BY user_id HAVING count(*) > 20
 """
 
+
+def _events_asof_attribution(spark, sf_dir):
+    """As-of join (purchase attribution): each purchase event gets the
+    user's most recent click at-or-before it. Compiles to
+    union -> ONE Exchange -> window; zero join operators
+    (cutwed_spark/operators/temporal.py, plan-asserted in
+    tests/test_temporal.py). Timestamps surface as epoch micros so the
+    driver's value-hash sees integers, not engine datetime renderings."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.temporal import asof_join
+
+    _register(spark, sf_dir)
+    e = spark.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "click_ts",
+        ["click_ts", "click_event_id", "click_value"],
+        tie_col="click_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts_str"
+        ),
+        "click_event_id",
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+EVENTS_ASOF_ATTRIBUTION_ORACLE = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_str,
+       c.event_id AS click_event_id,
+       round(c.value, 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""
+
+
+def _events_error_window(spark, sf_dir):
+    """Bucketed interval join: for each error event, the count and
+    value-sum of the same user's click/view activity in the following
+    10 minutes. The inequality join runs as an equi-join on
+    (user, time-bucket) + residual filter — never a nested-loop —
+    then re-attaches zero-activity errors with a same-key left join."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.temporal import range_join_bucketed
+
+    _register(spark, sf_dir)
+    e = spark.table("events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_event_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    activity = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join_bucketed(
+        errors, activity, "user_id", "win_start", "win_end", "ts",
+        bucket_width_sec=600.0,
+    )
+    agg = pairs.groupBy("err_event_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum("value").alias("sum_follow"),
+    )
+    return (
+        errors.join(agg, "err_event_id", "left")
+        .select(
+            "err_event_id",
+            "user_id",
+            F.coalesce(F.col("n_follow"), F.lit(0)).alias("n_follow"),
+            F.round(F.coalesce(F.col("sum_follow"), F.lit(0.0)), 4).alias(
+                "sum_follow_value"
+            ),
+        )
+    )
+
+
+EVENTS_ERROR_WINDOW_ORACLE = """
+SELECT e.event_id AS err_event_id, e.user_id,
+       count(c.event_id) AS n_follow,
+       round(coalesce(sum(c.value), 0.0), 4) AS sum_follow_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+GROUP BY e.event_id, e.user_id
+"""
+
 # ----------------------------------------------------------------------
 # ER-stage queries on events-derived transcripts (dialect-split because
 # of epoch/array function names). The mapping events -> transcripts is
@@ -1359,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
         "events_cube": _sql_query(EVENTS_CUBE),
         "events_json_stats": _sql_query(EVENTS_JSON_STATS_SPARK),
+        "events_asof_attribution": _events_asof_attribution,
+        "events_error_window": _events_error_window,
         "set_ops_active_users": _sql_query(SET_OPS_ACTIVE_USERS),
         # ER pipeline stages over events-derived transcripts
         "er_assemble_counts": _er_assemble_counts_spark,
@@ -1413,6 +1526,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": EVENTS_SESSIONIZE,
         "events_cube": EVENTS_CUBE,
         "events_json_stats": EVENTS_JSON_STATS_ORACLE,
+        "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_ORACLE,
+        "events_error_window": EVENTS_ERROR_WINDOW_ORACLE,
         "set_ops_active_users": SET_OPS_ACTIVE_USERS,
         "er_assemble_counts": ER_ASSEMBLE_COUNTS_ORACLE,
         "er_turn_gaps": ER_TURN_GAPS_ORACLE,
