@@ -950,7 +950,9 @@ def _text_hashed_embedding(spark, sf_dir):
     )
 
 
-def _hashed_embedding_oracle(dim: int = 16) -> str:
+def _hashed_cte(dim: int = 16) -> str:
+    """Shared DuckDB CTE chain reproducing hashed_embedding: words ->
+    signed-bucket sums -> norm -> 4dp-rounded components r0..r{dim-1}."""
     sums = ",\n".join(
         f"sum(CASE WHEN ('0x' || substring(md5(word), 1, 8))::BIGINT % {dim} = {j} "
         f"THEN (CASE WHEN ('0x' || substring(md5(word), 9, 1))::BIGINT % 2 = 1 "
@@ -958,21 +960,70 @@ def _hashed_embedding_oracle(dim: int = 16) -> str:
         for j in range(dim)
     )
     nrm = " + ".join(f"s{j} * s{j}" for j in range(dim))
-    comp = " ".join(
-        f"WHEN {j} THEN CASE WHEN nrm > 0 THEN round(s{j} / nrm, 4) ELSE 0.0 END"
+    comps = ",\n".join(
+        f"CAST(CASE WHEN nrm > 0 THEN round(s{j} / nrm, 4) ELSE 0.0 END AS DOUBLE) AS r{j}"
         for j in range(dim)
     )
-    dims = ", ".join(f"({j})" for j in range(dim))
     return f"""
-WITH w AS (
+w AS (
   SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
   FROM documents
 ),
 sums AS (SELECT doc_id, {sums} FROM w WHERE word <> '' GROUP BY doc_id),
-n AS (SELECT *, sqrt(CAST({nrm} AS DOUBLE)) AS nrm FROM sums)
+n AS (SELECT *, sqrt(CAST({nrm} AS DOUBLE)) AS nrm FROM sums),
+hemb AS (SELECT doc_id, {comps} FROM n)
+"""
+
+
+def _hashed_embedding_oracle(dim: int = 16) -> str:
+    comp = " ".join(f"WHEN {j} THEN r{j}" for j in range(dim))
+    dims = ", ".join(f"({j})" for j in range(dim))
+    return f"""
+WITH {_hashed_cte(dim)}
 SELECT doc_id, CAST(j AS INT) AS dim_idx,
        CAST(CASE j {comp} END AS DOUBLE) AS component
-FROM n CROSS JOIN (VALUES {dims}) AS dims(j)
+FROM hemb CROSS JOIN (VALUES {dims}) AS dims(j)
+"""
+
+
+def _text_near_dup(spark, sf_dir):
+    """Composed curation path: documents -> hashing-trick embedding ->
+    embedding-cosine near-dup edges. Semantic near-dup detection over
+    raw text with NO model and no pre-existing embedding column — the
+    glue query that proves the text stack and the similarity stack
+    compose. Exact all-pairs variant at oracle scale; at corpus scale
+    swap the last step for embedding_near_dup_pairs_lsh (same
+    signature)."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.similarity import embedding_near_dup_pairs
+    from cutwed_spark.operators.textstats import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf_dir), dim=16)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.98, id_col="doc_id"
+    ).select(
+        F.col("vec_id_a").alias("doc_id_a"),
+        F.col("vec_id_b").alias("doc_id_b"),
+        "cos",
+    )
+
+
+def _text_near_dup_oracle(dim: int = 16, threshold: float = 0.98) -> str:
+    """Reuses the hashed-embedding CTE, then reproduces cosine_pairs'
+    in-order fold: the `+` chains below evaluate left-to-right exactly
+    like F.aggregate's left fold, so the 4dp-rounded cosines match
+    bit-for-bit (the emb_near_dup entry proves the pattern)."""
+    dot = " + ".join(f"a.r{j}*b.r{j}" for j in range(dim))
+    na = " + ".join(f"a.r{j}*a.r{j}" for j in range(dim))
+    nb = " + ".join(f"b.r{j}*b.r{j}" for j in range(dim))
+    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"
+    return f"""
+WITH {_hashed_cte(dim)}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST({cos} AS DOUBLE) AS cos
+FROM hemb a JOIN hemb b ON a.doc_id < b.doc_id
+WHERE {cos} >= {threshold}
 """
 
 
@@ -1281,6 +1332,41 @@ def _er_clusters(spark, sf_dir):
     return res.clusters
 
 
+def _er_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram over the flagship ER output — the
+    dedup-audit query a curation run ends with (how many 1:1 merges vs
+    large equivalence classes). Two map-side-combinable aggregations
+    over the pinned clusters table."""
+    from pyspark.sql import functions as F
+
+    res = _er_flagship(spark)
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _er_cluster_sizes_oracle() -> str:
+    """Same aggregation, over the same literal-VALUES golden clusters
+    table the er_clusters oracle pins — so this checks the Spark-side
+    double aggregation against an independent engine, not a constant."""
+    from cutwed_spark.plans.er_golden import ER_CLUSTERS_ROWS
+
+    vals = ",\n".join(f"('{c}', '{k}')" for c, k in ER_CLUSTERS_ROWS)
+    return f"""
+WITH clusters(conv_id, cluster_id) AS (VALUES {vals}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def _er_match_edges_oracle() -> str:
     """Literal-VALUES oracle: the TWED DP + thresholding output on the
     deterministic seed-42 corpus is a constant, pinned by
@@ -1495,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _text_token_counts,
         "text_fingerprints": _text_fingerprints,
         "text_hashed_embedding": _text_hashed_embedding,
+        "text_near_dup": _text_near_dup,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
@@ -1511,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal-VALUES golden oracles (er_golden.py)
         "er_match_edges": _er_match_edges,
         "er_clusters": _er_clusters,
+        "er_cluster_sizes": _er_cluster_sizes,
     }
 
 
@@ -1549,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _token_counts_oracle(),
         "text_fingerprints": FINGERPRINTS_ORACLE,
         "text_hashed_embedding": _hashed_embedding_oracle(),
+        "text_near_dup": _text_near_dup_oracle(),
         "emb_cosine_topk": EMB_COSINE_TOPK_ORACLE,
         "emb_near_dup": EMB_NEAR_DUP_ORACLE,
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
@@ -1568,4 +1657,5 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_spark_pipeline.py and tests/test_er_golden.py.
         "er_match_edges": _er_match_edges_oracle(),
         "er_clusters": _er_clusters_oracle(),
+        "er_cluster_sizes": _er_cluster_sizes_oracle(),
     }
