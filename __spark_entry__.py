@@ -122,6 +122,49 @@ FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
 """
 
+ORDERS_GROUPING_SETS = """
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 0) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+"""
+
+# Spark side is the DataFrame pivot operator (groupBy().pivot().agg());
+# the oracle is the equivalent conditional aggregation — the pair proves
+# the pivot relational op, not just its SQL rewrite.
+ORDERS_PIVOT_ORACLE = """
+SELECT year(o_orderdate) AS order_year,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+def _orders_pivot(spark, sf_dir):
+    """PIVOT over order status per year (wide-format report shape).
+    Explicit value list => no extra distinct-values job at plan time
+    (at 100 TB an unlisted pivot triggers a full distinct scan first);
+    count nulls coalesced to 0 to match the conditional-agg oracle."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir)
+    piv = (
+        spark.table("orders")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "order_year",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
 CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name
 FROM customer
@@ -1551,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": _sql_query(Q5_NATION_VOLUME),
         "top3_orders_per_customer": _sql_query(TOP3_ORDERS_PER_CUSTOMER),
         "orders_rollup": _sql_query(ORDERS_ROLLUP),
+        "orders_grouping_sets": _sql_query(ORDERS_GROUPING_SETS),
+        "orders_pivot": _orders_pivot,
         "customers_without_orders": _sql_query(CUSTOMERS_WITHOUT_ORDERS),
         "events_type_stats": _sql_query(EVENTS_TYPE_STATS),
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
@@ -1609,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_volume": Q5_NATION_VOLUME,
         "top3_orders_per_customer": TOP3_ORDERS_PER_CUSTOMER,
         "orders_rollup": ORDERS_ROLLUP,
+        "orders_grouping_sets": ORDERS_GROUPING_SETS,
+        "orders_pivot": ORDERS_PIVOT_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS,
         "events_type_stats": EVENTS_TYPE_STATS,
         "events_sessionize": EVENTS_SESSIONIZE,

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Bucketed tables (sources/io.py:write_bucketed) live under the
+        # session catalog's warehouse; keep it off the repo working tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/cutwed-spark-warehouse"
+            ),
+        )
         # Scan-split size: the sandbox corpora are single parquet files
         # of tens of MB — at the 128m default the scan (and the shuffle
         # WRITE feeding the first repartition) runs single-task and
