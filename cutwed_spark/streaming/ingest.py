@@ -346,6 +346,41 @@ def compact_stream_state(
     return out
 
 
+def publish_bucketed_state(
+    spark: SparkSession,
+    work_dir: str,
+    table: str = "er_state_bucketed",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Publish the accumulated state table as a catalog table BUCKETED
+    by ``conv_id`` (maintenance pass, like ``compact_stream_state``).
+
+    Scoring's attach joins fetch each candidate's series payload by
+    conv_id (operators/scoring.py:attach_series). Against the plain
+    parquet state dir both join sides shuffle; against the bucketed
+    table the state side's HashPartitioning comes from the bucket spec,
+    so only the per-batch candidate side exchanges — at warehouse scale
+    that is the difference between shuffling a multi-TB table every
+    batch and shuffling kilobytes of pair ids
+    (tests/test_bucketed_io.py asserts the Exchange elimination).
+
+    Run with the stream stopped, after ``compact_stream_state``; pass
+    the returned DataFrame (or ``read_bucketed(spark, table)``) as the
+    ``series`` argument to ``score_candidates``. Durable only with a
+    persistent metastore (Hive/Iceberg); with the sandbox's in-memory
+    catalog the table lives for the session and the call is repeated
+    per session — degrading to the plain dir is correctness-neutral.
+    """
+    from cutwed_spark.sources.io import read_bucketed, write_bucketed
+
+    p = _paths(work_dir)
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    state = spark.read.parquet(p["state"]).dropDuplicates(["conv_id"])
+    write_bucketed(state, table, ["conv_id"], n_buckets=n,
+                   sort_cols=["conv_id"])
+    return read_bucketed(spark, table)
+
+
 def finalize(
     spark: SparkSession, work_dir: str, cfg: PipelineConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:

@@ -75,6 +75,47 @@ def test_unbucketed_join_does_exchange(bucketed_pair):
         assert "Exchange" in plan
 
 
+def test_bucketed_state_attach_join_drops_state_exchanges(spark, tmp_path):
+    """publish_bucketed_state + scoring's attach_series: the bucketed
+    state side must contribute NO Exchange (only the candidate-pair side
+    shuffles) — vs the plain-parquet state where both sides shuffle."""
+    from cutwed_spark.streaming.ingest import publish_bucketed_state
+
+    work = str(tmp_path / "wd")
+    state = spark.range(0, 300).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).alias("values_flat"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("times"),
+    )
+    state.write.parquet(f"{work}/state")
+    pairs = spark.range(0, 100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id_a"),
+        F.concat(F.lit("c"), F.col("id") + 1).alias("conv_id_b"),
+    )
+
+    from cutwed_spark.operators.scoring import attach_series
+
+    with _no_broadcast(spark):
+        plain = _plan(
+            attach_series(pairs, spark.read.parquet(f"{work}/state"))
+        )
+        spark.sql("DROP TABLE IF EXISTS t_state_bk")
+        bucketed_state = publish_bucketed_state(
+            spark, work, table="t_state_bk", n_buckets=8
+        )
+        try:
+            bucketed = _plan(attach_series(pairs, bucketed_state))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_state_bk")
+    assert "Bucketed: true" in bucketed
+    # plain: both attach joins shuffle both sides; bucketed: only the
+    # pair/intermediate side shuffles (2 fewer Exchanges).
+    assert bucketed.count("Exchange") == plain.count("Exchange") - 2, (
+        f"bucketed={bucketed.count('Exchange')} "
+        f"plain={plain.count('Exchange')}\n{bucketed}"
+    )
+
+
 class _no_broadcast:
     def __init__(self, spark):
         self.spark = spark
