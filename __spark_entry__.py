@@ -173,6 +173,24 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
                     AND year(o_orderdate) = 1995)
 """
 
+# Correlated EXISTS — Catalyst rewrites to a left-semi join (the
+# positive twin of the NOT EXISTS anti-join above).
+HIGH_VALUE_ORDER_CUSTOMERS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+# Scalar subquery in a predicate — planned as a one-row subquery
+# broadcast into the filter, then an ordinary partial+final aggregate.
+ABOVE_AVG_BALANCE_BY_NATION = """
+SELECT c_nationkey, count(*) AS n_above
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_nationkey
+"""
+
 EVENTS_TYPE_STATS = """
 SELECT event_type,
        count(*) AS n_events,
@@ -1597,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": _sql_query(ORDERS_GROUPING_SETS),
         "orders_pivot": _orders_pivot,
         "customers_without_orders": _sql_query(CUSTOMERS_WITHOUT_ORDERS),
+        "customers_with_big_orders": _sql_query(HIGH_VALUE_ORDER_CUSTOMERS),
+        "above_avg_balance_by_nation": _sql_query(ABOVE_AVG_BALANCE_BY_NATION),
         "events_type_stats": _sql_query(EVENTS_TYPE_STATS),
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
         "events_cube": _sql_query(EVENTS_CUBE),
@@ -1657,6 +1677,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_grouping_sets": ORDERS_GROUPING_SETS,
         "orders_pivot": ORDERS_PIVOT_ORACLE,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS,
+        "customers_with_big_orders": HIGH_VALUE_ORDER_CUSTOMERS,
+        "above_avg_balance_by_nation": ABOVE_AVG_BALANCE_BY_NATION,
         "events_type_stats": EVENTS_TYPE_STATS,
         "events_sessionize": EVENTS_SESSIONIZE,
         "events_cube": EVENTS_CUBE,
