@@ -74,7 +74,9 @@ def asof_join(
         # (side 0 < 1) so same-instant rights are visible; strict=True
         # flips the order so they are not.
         F.lit(0 if not strict else 1).alias(_SIDE),
-        F.col(tie_col).cast("long").alias(_TIE),
+        # natural type, NOT a numeric cast: a cast("long") of a string
+        # id would NULL out and silently lose tie determinism
+        F.col(tie_col).alias(_TIE),
         r_payload,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != on],
@@ -83,7 +85,7 @@ def asof_join(
         F.col(on).alias(on),
         F.col(left_ts).alias(_TS),
         F.lit(1 if not strict else 0).alias(_SIDE),
-        F.lit(None).cast("long").alias(_TIE),
+        F.lit(None).cast(right.schema[tie_col].dataType).alias(_TIE),
         F.lit(None).cast(r_arm.schema[_PAY].dataType).alias(_PAY),
         *[F.col(c) for c in left.columns if c != on],
     )
