@@ -299,5 +299,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     simhash_docs + banded join (see simhash_pairs_from_hashes for the
-    pigeonhole guarantee). Output: (doc_id_a, doc_id_b, hamming)."""
-    return simhash_pairs_from_hashes(simhash_docs(docs, bits), bits, max_hamming)
+    pigeonhole guarantee). Output: (doc_id_a, doc_id_b, hamming).
+
+    The signature table is persisted before the banded SELF-join:
+    without it both join sides recompute the word-explode + 16-column
+    vote aggregation (measured 10.0 s -> ~3 s composed at sf0.1). Run
+    inside cache.cache_scope() for deterministic release."""
+    sim = scoped_persist(simhash_docs(docs, bits))
+    return simhash_pairs_from_hashes(sim, bits, max_hamming)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cutwed_spark.cache import scoped_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -288,7 +290,14 @@ def lsh_cosine_topk(
     e = with_double_embedding(emb).select(
         F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    ids = (
+    # Persisted: `ids` (compact — id + bucket) encodes the expensive
+    # n_planes*n_tables hyperplane dot products and feeds the oversized
+    # profile plus BOTH self-join sides. The array-bearing `bucketed`
+    # table is deliberately NOT persisted: materializing the vector
+    # payload costs more than recomputing the parquet scan (A/B at
+    # sf0.1: 12.1 s persisted vs 7.8 s with ids-only vs 9.8 s with no
+    # persist). cache_scope() releases.
+    ids = scoped_persist(
         lsh_bucket_ids(emb, dim, n_planes, id_col)
         if n_tables == 1
         else lsh_bucket_ids_multi(emb, dim, n_planes, n_tables, id_col)
@@ -405,7 +414,12 @@ def ivf_cosine_topk(
     cell lists stay O(sqrt(n))."""
     from pyspark.sql.window import Window
 
-    assign = ivf_assignments(emb, n_cells, n_probe, id_col)
+    # Persisted: `assign` (compact — id + cell + rank) encodes the
+    # centroid crossJoin + ranking window and feeds homes AND probes.
+    # The array-bearing `e` is NOT persisted — caching vector payloads
+    # loses to re-scanning parquet (A/B at sf0.1: 3.6 s with e persisted
+    # vs 2.8 s assign-only vs 7.6 s no persist). cache_scope() releases.
+    assign = scoped_persist(ivf_assignments(emb, n_cells, n_probe, id_col))
     e = with_double_embedding(emb).select(
         F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -507,7 +521,10 @@ def embedding_near_dup_pairs_lsh(
     e = with_double_embedding(emb).select(
         F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    ids = lsh_bucket_ids(emb, dim, n_planes, id_col)
+    # persist the compact bucket-id table (hyperplane dot products),
+    # never the array-bearing join — see lsh_cosine_topk's A/B note;
+    # cache_scope() releases
+    ids = scoped_persist(lsh_bucket_ids(emb, dim, n_planes, id_col))
     oversized = (
         ids.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
