@@ -1428,6 +1428,134 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def _er_blocking_quality(spark, sf_dir):
+    """Blocking-stage report card on the flagship run: reduction ratio
+    (work saved vs all-pairs — the reference's twed_batch scores the
+    full nAA x nBB grid, /root/reference/src/cuTWED_core.h:583-620) and
+    pair completeness (true pairs the blocking kept — the recall
+    ceiling). Fully distributed: two counts + one left join."""
+    from cutwed_spark.operators.evaluation import blocking_quality
+    from cutwed_spark.sources.synth import synth_corpus
+
+    res = _er_flagship(spark)
+    _, lab = synth_corpus(150)
+    n_records = res.series.count()
+    return blocking_quality(
+        res.candidate_pairs, spark.createDataFrame(lab), int(n_records)
+    )
+
+
+def _er_blocking_quality_oracle() -> str:
+    """Derived from the pinned golden tables: ER_SCORED_ROWS doubles as
+    the candidate-pair table (scoring maps 1:1 over candidates), the
+    cluster rows give the record count, labeled rows the ground truth."""
+    from cutwed_spark.plans.er_golden import (
+        ER_CLUSTERS_ROWS,
+        ER_LABELED_ROWS,
+        ER_SCORED_ROWS,
+    )
+
+    n_records = len(ER_CLUSTERS_ROWS)
+    n_possible = n_records * (n_records - 1) // 2
+    scored_vals = ",\n".join(
+        f"('{a}', '{b}')" for a, b, _r in ER_SCORED_ROWS
+    )
+    labeled_vals = ",\n".join(
+        f"('{a}', '{b}', {str(m).upper()})" for a, b, m in ER_LABELED_ROWS
+    )
+    return f"""
+WITH scored(conv_id_a, conv_id_b) AS (VALUES {scored_vals}),
+labeled(conv_id_a, conv_id_b, is_match) AS (VALUES {labeled_vals}),
+cand AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM scored),
+tp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         CAST(sum(CASE WHEN s.conv_id_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_covered
+  FROM (SELECT * FROM labeled WHERE is_match) l
+  LEFT JOIN scored s
+    ON l.conv_id_a = s.conv_id_a AND l.conv_id_b = s.conv_id_b
+)
+SELECT n_candidate_pairs,
+       CAST({n_possible} AS BIGINT) AS n_possible_pairs,
+       round(1.0 - n_candidate_pairs / CAST({n_possible} AS DOUBLE), 6)
+         AS reduction_ratio,
+       n_true_pairs,
+       n_true_covered,
+       round(CAST(n_true_covered AS DOUBLE)
+             / greatest(n_true_pairs, 1), 6) AS pair_completeness
+FROM cand, tp
+"""
+
+
+ER_SWEEP_GRID = [0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0]
+
+
+def _er_threshold_sweep(spark, sf_dir):
+    """Distributed precision/recall/F1 sweep over the scored pairs —
+    the calibration curve as a DataFrame (one join + explode + agg;
+    scales with |labeled| x |grid|, never collects). Scores are rounded
+    to 4dp BEFORE the sweep so the literal-VALUES oracle compares the
+    exact same doubles (same treatment as the er_match_edges golden)."""
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.evaluation import threshold_sweep
+    from cutwed_spark.sources.synth import synth_corpus
+
+    res = _er_flagship(spark)
+    _, lab = synth_corpus(150)
+    scored4 = res.scored.select(
+        "conv_id_a",
+        "conv_id_b",
+        F.round("twed_ratio", 4).alias("twed_ratio"),
+    )
+    return threshold_sweep(
+        scored4, spark.createDataFrame(lab), ER_SWEEP_GRID
+    )
+
+
+def _er_threshold_sweep_oracle() -> str:
+    from cutwed_spark.plans.er_golden import ER_LABELED_ROWS, ER_SCORED_ROWS
+
+    scored_vals = ",\n".join(
+        f"('{a}', '{b}', {r!r})" for a, b, r in ER_SCORED_ROWS
+    )
+    labeled_vals = ",\n".join(
+        f"('{a}', '{b}', {str(m).upper()})" for a, b, m in ER_LABELED_ROWS
+    )
+    grid_vals = ", ".join(f"({t!r})" for t in ER_SWEEP_GRID)
+    return f"""
+WITH scored(conv_id_a, conv_id_b, twed_ratio) AS (VALUES {scored_vals}),
+labeled(conv_id_a, conv_id_b, is_match) AS (VALUES {labeled_vals}),
+grid(threshold) AS (VALUES {grid_vals}),
+j AS (
+  SELECT l.is_match,
+         coalesce(s.twed_ratio, CAST('infinity' AS DOUBLE)) AS score
+  FROM labeled l
+  LEFT JOIN scored s
+    ON l.conv_id_a = s.conv_id_a AND l.conv_id_b = s.conv_id_b
+),
+agg AS (
+  SELECT g.threshold,
+         CAST(sum(CASE WHEN j.is_match AND j.score <= g.threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT j.is_match AND j.score <= g.threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN j.is_match AND j.score > g.threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM grid g CROSS JOIN j
+  GROUP BY g.threshold
+)
+SELECT round(threshold, 4) AS threshold, tp, fp, fn,
+       round(tp / greatest(tp + fp, 1), 6) AS precision,
+       round(tp / greatest(tp + fn, 1), 6) AS recall,
+       round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+             / greatest((tp / greatest(tp + fp, 1))
+                        + (tp / greatest(tp + fn, 1)), 1e-12), 6) AS f1
+FROM agg
+ORDER BY threshold
+"""
+
+
 def _er_match_edges_oracle() -> str:
     """Literal-VALUES oracle: the TWED DP + thresholding output on the
     deterministic seed-42 corpus is a constant, pinned by
@@ -1664,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_match_edges": _er_match_edges,
         "er_clusters": _er_clusters,
         "er_cluster_sizes": _er_cluster_sizes,
+        # ER evaluation operators (distributed, no driver collect)
+        "er_blocking_quality": _er_blocking_quality,
+        "er_threshold_sweep": _er_threshold_sweep,
     }
 
 
@@ -1727,4 +1858,6 @@ def oracle_sql() -> dict[str, str]:
         "er_match_edges": _er_match_edges_oracle(),
         "er_clusters": _er_clusters_oracle(),
         "er_cluster_sizes": _er_cluster_sizes_oracle(),
+        "er_blocking_quality": _er_blocking_quality_oracle(),
+        "er_threshold_sweep": _er_threshold_sweep_oracle(),
     }

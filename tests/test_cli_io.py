@@ -112,3 +112,66 @@ def test_cli_stream(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_match_edges"] > 0
     assert spark.read.parquet(os.path.join(summary["out"], "clusters")).count() > 0
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    """The north rule's launch shape, actually executed: package the
+    engine as a zip, ship it with ``spark-submit --py-files``, and run
+    the flagship pipeline from a cwd that does NOT contain the package
+    (so the zip is the only import source, as on a real cluster where
+    executors have no repo checkout)."""
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "cutwed_spark")
+    zpath = str(tmp_path / "cutwed_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    # the submitted script, copied out of the repo like a real deploy
+    script = str(tmp_path / "cli.py")
+    shutil.copy(os.path.join(pkg, "cli.py"), script)
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    corpus = str(tmp_path / "corpus")
+    from cutwed_spark.cli import main
+
+    assert main(["synth", "--out", corpus, "--n", "80"]) == 0
+
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    # cwd=tmp_path: imports must come from the shipped zip
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zpath,
+            script, "run",
+            "--input", os.path.join(corpus, "transcripts.parquet"),
+            "--labeled", os.path.join(corpus, "labeled_pairs.parquet"),
+            "--output", out,
+            "--shuffle-partitions", "8",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    metrics = json.loads(json_lines[-1])
+    assert metrics["evaluation"]["f1"] >= 0.99
+    assert os.path.isdir(os.path.join(out, "clusters"))

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from cutwed_spark.plans.er_golden import (
     ER_CLUSTERS_ROWS,
+    ER_LABELED_ROWS,
     ER_MATCH_EDGES_ROWS,
+    ER_SCORED_ROWS,
     N_CONVERSATIONS,
 )
 
@@ -48,6 +50,21 @@ def test_er_golden_matches_fresh_run(spark):
         (r["conv_id"], r["cluster_id"]) for r in res.clusters.collect()
     )
     assert clusters == sorted(map(tuple, ER_CLUSTERS_ROWS))
+    scored = sorted(
+        (r["conv_id_a"], r["conv_id_b"], float(r["twed_ratio"]))
+        for r in res.scored.select(
+            "conv_id_a", "conv_id_b",
+            F.round("twed_ratio", 4).alias("twed_ratio"),
+        ).collect()
+    )
+    assert scored == sorted(map(tuple, ER_SCORED_ROWS))
+    labeled_rows = sorted(
+        (r["conv_id_a"], r["conv_id_b"], bool(r["is_match"]))
+        for r in spark.createDataFrame(lab)
+        .select("conv_id_a", "conv_id_b", "is_match")
+        .collect()
+    )
+    assert labeled_rows == sorted(map(tuple, ER_LABELED_ROWS))
 
 
 def test_er_golden_oracle_sql_runs_in_duckdb():
@@ -67,3 +84,24 @@ def test_er_golden_oracle_sql_runs_in_duckdb():
     assert types == ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER", "DOUBLE", "DOUBLE"]
     clusters = con.execute(entry._er_clusters_oracle()).fetchall()
     assert len(clusters) == len(ER_CLUSTERS_ROWS)
+
+
+def test_er_eval_oracles_run_in_duckdb():
+    """blocking-quality and threshold-sweep oracles parse, and their
+    invariants hold on the pinned goldens (completeness <= 1, the sweep
+    is monotone in recall as the threshold loosens)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    bq = con.execute(entry._er_blocking_quality_oracle()).fetchall()
+    assert len(bq) == 1
+    n_cand, n_possible, rr, n_true, n_cov, pc = bq[0]
+    assert n_cand == len(ER_SCORED_ROWS)
+    assert 0.0 <= rr <= 1.0 and 0.0 <= pc <= 1.0
+    assert n_cov <= n_true
+    sweep = con.execute(entry._er_threshold_sweep_oracle()).fetchall()
+    assert len(sweep) == len(entry.ER_SWEEP_GRID)
+    recalls = [row[5] for row in sweep]
+    assert recalls == sorted(recalls)  # looser threshold never loses recall

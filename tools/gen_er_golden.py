@@ -42,6 +42,16 @@ ER_MATCH_EDGES_ROWS = {edges}
 
 # (conv_id, cluster_id)
 ER_CLUSTERS_ROWS = {clusters}
+
+# (conv_id_a, conv_id_b, twed_ratio) — every candidate pair the
+# blocking surfaced, with its scored ratio (4dp). Doubles as the golden
+# candidate-pair table for the blocking-quality oracle: scoring maps
+# 1:1 over candidate pairs.
+ER_SCORED_ROWS = {scored}
+
+# (conv_id_a, conv_id_b, is_match) — the deterministic labeled pairs
+# the seed-42 generator emits (ground truth for eval oracles)
+ER_LABELED_ROWS = {labeled}
 '''
 
 
@@ -83,15 +93,41 @@ def main() -> None:
     clusters = sorted(
         (r["conv_id"], r["cluster_id"]) for r in res.clusters.collect()
     )
+    scored = sorted(
+        (r["conv_id_a"], r["conv_id_b"], float(r["twed_ratio"]))
+        for r in res.scored.select(
+            "conv_id_a", "conv_id_b",
+            F.round("twed_ratio", 4).alias("twed_ratio"),
+        ).collect()
+    )
+    labeled_rows = sorted(
+        (r["conv_id_a"], r["conv_id_b"], bool(r["is_match"]))
+        for r in spark.createDataFrame(lab)
+        .select("conv_id_a", "conv_id_b", "is_match")
+        .collect()
+    )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "cutwed_spark", "plans", "er_golden.py",
     )
     edges_lit = "[\n" + "".join(f"    {e!r},\n" for e in edges) + "]"
     clusters_lit = "[\n" + "".join(f"    {c!r},\n" for c in clusters) + "]"
+    scored_lit = "[\n" + "".join(f"    {s!r},\n" for s in scored) + "]"
+    labeled_lit = "[\n" + "".join(f"    {r!r},\n" for r in labeled_rows) + "]"
     with open(out, "w") as fh:
-        fh.write(HEADER.format(n=n, edges=edges_lit, clusters=clusters_lit))
-    print(f"wrote {out}: {len(edges)} edges, {len(clusters)} cluster rows")
+        fh.write(
+            HEADER.format(
+                n=n,
+                edges=edges_lit,
+                clusters=clusters_lit,
+                scored=scored_lit,
+                labeled=labeled_lit,
+            )
+        )
+    print(
+        f"wrote {out}: {len(edges)} edges, {len(clusters)} cluster rows, "
+        f"{len(scored)} scored, {len(labeled_rows)} labeled"
+    )
     spark.stop()
 
 
