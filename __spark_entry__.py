@@ -515,8 +515,10 @@ def _er_minhash_signatures_spark(spark, sf_dir):
     """md5-based conversation MinHash (portable twin of the pipeline's
     xxhash64 blocking, cutwed_spark/operators/blocking.py)."""
     _register(spark, sf_dir)
+    # digest-split MinHash: 8 functions = 2 md5 digests x 4 slices
+    digs = ", ".join(f"md5(concat(shingle, '#{d}')) AS d{d}" for d in range(2))
     mins = ",\n".join(
-        f"min(md5(concat(shingle, '#{i}'))) AS h{i}" for i in range(8)
+        f"min(substring(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(8)
     )
     return spark.sql(
         f"""
@@ -527,8 +529,9 @@ def _er_minhash_signatures_spark(spark, sf_dir):
                  concat_ws(' ', slice(words, i, 3)) AS shingle
           FROM w
           LATERAL VIEW explode(sequence(1, greatest(size(words) - 2, 1))) idx AS i
-        )
-        SELECT conv_id, {mins} FROM sh GROUP BY conv_id
+        ),
+        dig AS (SELECT conv_id, {digs} FROM sh)
+        SELECT conv_id, {mins} FROM dig GROUP BY conv_id
         """
     )
 
@@ -543,7 +546,10 @@ sh AS (
   FROM w, LATERAL unnest(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
 )
 SELECT conv_id, """
-    + ",\n".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(8))
+    + ",\n".join(
+        f"min(substr(md5(shingle || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(8)
+    )
     + " FROM sh GROUP BY conv_id"
 )
 
@@ -628,7 +634,12 @@ def _minhash_pairs_ctes(
     dedup.minhash_lsh_verified_pairs. Shared by the standalone operator
     oracles and the curation-funnel oracle."""
     p = prefix
-    mins = ",\n".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(12))
+    # digest-split MinHash (mirrors dedup._minhash_band_pairs): 12 hash
+    # functions = 3 md5 digests x 4 independent 8-hex-char slices
+    digs = ", ".join(f"md5(shingle || '#{d}') AS d{d}" for d in range(3))
+    mins = ",\n".join(
+        f"min(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(12)
+    )
     bands = ",\n".join(
         f"concat_ws('|', '{b}', h{2*b}, h{2*b+1}) AS b{b}" for b in range(6)
     )
@@ -650,7 +661,8 @@ def _minhash_pairs_ctes(
   JOIN (SELECT shingle FROM {p}sh GROUP BY shingle HAVING count(*) <= 100) f
   USING (shingle)
 ),
-{p}sig AS (SELECT doc_id, {mins} FROM {p}rare GROUP BY doc_id),
+{p}dig AS (SELECT doc_id, {digs} FROM {p}rare),
+{p}sig AS (SELECT doc_id, {mins} FROM {p}dig GROUP BY doc_id),
 {p}banded AS (SELECT doc_id, {bands} FROM {p}sig),
 {p}keys AS ({band_union}),
 {p}mh_pairs AS (

@@ -94,6 +94,24 @@ def _pad_from_arrow(values_flat: pa.Array, times: pa.Array, dim: int):
     return V, T, lens
 
 
+def _dedup_side(ids: pa.Array, values: pa.Array, times: pa.Array, dim: int):
+    """Dictionary-encode one pair side so each distinct conversation in
+    the batch is padded and self-cost-scored ONCE (a series appears in
+    several candidate pairs; the join output materializes it per pair).
+    Returns (V_unique, T_unique, L_unique, codes) where ``codes[k]`` is
+    the unique-stack row of pair ``k`` — the gather contract of
+    :func:`cutwed_spark.twed.core.twed_pairs` (its ``idxA``/``idxB``).
+    The reference's batch API has the same shape: unique series stacks
+    + an implicit all-pairs index (/root/reference/src/cuTWED.h:97-105)."""
+    enc = pc.dictionary_encode(ids)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    # dictionary codes are dense 0..K-1 in first-appearance order
+    _, first = np.unique(codes, return_index=True)
+    take = pa.array(first)
+    V, T, L = _pad_from_arrow(values.take(take), times.take(take), dim)
+    return V, T, L, codes
+
+
 def make_score_fn(dim: int, nu: float, lamb: float, degree: int):
     """Arrow batch iterator for mapInArrow (picklable closure)."""
 
@@ -102,20 +120,26 @@ def make_score_fn(dim: int, nu: float, lamb: float, degree: int):
             if batch.num_rows == 0:
                 continue
             cols = {name: batch.column(name) for name in batch.schema.names}
-            Va, Ta, La = _pad_from_arrow(cols["va"], cols["ta"], dim)
-            Vb, Tb, Lb = _pad_from_arrow(cols["vb"], cols["tb"], dim)
-            idx = np.arange(batch.num_rows, dtype=np.int64)
-            d = twed_pairs(Va, Ta, La, idx, Vb, Tb, Lb, idx, nu, lamb, degree)
-            denom = np.maximum(La + Lb, 1).astype(np.float64)
-            self_cost = _self_delete_cost(Va, Ta, La, nu, lamb, degree) + _self_delete_cost(
-                Vb, Tb, Lb, nu, lamb, degree
+            Va, Ta, La, ia = _dedup_side(
+                cols["conv_id_a"], cols["va"], cols["ta"], dim
+            )
+            Vb, Tb, Lb, ib = _dedup_side(
+                cols["conv_id_b"], cols["vb"], cols["tb"], dim
+            )
+            d = twed_pairs(Va, Ta, La, ia, Vb, Tb, Lb, ib, nu, lamb, degree)
+            na = La[ia]
+            nb = Lb[ib]
+            denom = np.maximum(na + nb, 1).astype(np.float64)
+            self_cost = (
+                _self_delete_cost(Va, Ta, La, nu, lamb, degree)[ia]
+                + _self_delete_cost(Vb, Tb, Lb, nu, lamb, degree)[ib]
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     cols["conv_id_a"],
                     cols["conv_id_b"],
-                    pa.array(La.astype(np.int32)),
-                    pa.array(Lb.astype(np.int32)),
+                    pa.array(na.astype(np.int32)),
+                    pa.array(nb.astype(np.int32)),
                     pa.array(d),
                     pa.array(d / denom),
                     pa.array(d / np.maximum(self_cost, 1e-12)),
