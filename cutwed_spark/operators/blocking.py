@@ -377,7 +377,16 @@ def build_candidate_pairs_from_state(
 ) -> tuple[DataFrame, DataFrame]:
     """Blocking from the signature-carrying state table
     -> (pairs, block_stats)."""
-    blocks = block_keys_from_state(state, band_size, num_hashes).persist()
+    # Repartition by block_key BEFORE the persist: the size groupBy,
+    # the kept-keys join, and the pair self-join all hash on block_key,
+    # so the cached table's outputPartitioning satisfies every one of
+    # them — three Exchanges of the block table collapse into this one
+    # (Catalyst keeps the cached plan's partitioning).
+    blocks = (
+        block_keys_from_state(state, band_size, num_hashes)
+        .repartition("block_key")
+        .persist()
+    )
     kept, stats = prune_oversized_blocks(blocks, max_block)
     return candidate_pairs(kept), stats
 
