@@ -477,10 +477,29 @@ def _ann_recall(spark, qs) -> dict:
         }
         return round(len(exact & approx) / max(len(exact), 1), 4)
 
-    return {
+    out = {
         "lsh_topk_auto": recall("emb_topk_auto"),
         "ivf_topk": recall("emb_ivf_topk"),
     }
+    # The recall/cost KNOB, recorded as a second IVF point: these are
+    # UNclustered (worst-case) embeddings where recall ~ probe
+    # fraction, so doubling n_probe buys recall at linear candidate
+    # cost (similarity.py documents the measured law).
+    from cutwed_spark.cache import cache_scope
+    from cutwed_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with cache_scope():
+        t0 = time.monotonic()
+        hi = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=8)
+            .select("vec_id", "neighbor_id")
+            .collect()
+        }
+        out["ivf_probe8_sec"] = round(time.monotonic() - t0, 3)
+    out["ivf_probe8"] = round(len(exact & hi) / max(len(exact), 1), 4)
+    return out
 
 
 def _worker_main(mode: str) -> None:

@@ -426,6 +426,55 @@ def test_self_delete_cost_root_convention():
     assert not np.isclose(d_pos, d_neg)
 
 
+def test_dedup_side_gather_contract():
+    """_dedup_side must pad each distinct conversation ONCE and return
+    codes that gather the unique stacks back to per-pair order — the
+    duplicated-series optimization of the score UDF. Duplicate ids must
+    map to the same unique row; scattered duplicates included."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cutwed_spark.operators.scoring import _dedup_side, _pad_from_arrow
+
+    dim = 2
+    ids = pa.array(["c2", "c1", "c2", "c3", "c1", "c2"])
+    series = {
+        "c1": ([1.0, 2.0, 3.0, 4.0], [0.0, 1.0]),        # 2 turns
+        "c2": ([5.0, 6.0], [0.0]),                        # 1 turn
+        "c3": ([7.0, 8.0, 9.0, 10.0, 11.0, 12.0], [0.0, 1.0, 2.0]),  # 3
+    }
+    vals = pa.array([series[i.as_py()][0] for i in ids], type=pa.list_(pa.float64()))
+    times = pa.array([series[i.as_py()][1] for i in ids], type=pa.list_(pa.float64()))
+    V, T, L, codes = _dedup_side(ids, vals, times, dim)
+    assert V.shape[0] == 3 and len(codes) == 6
+    # gathering the unique stacks must reproduce the per-pair padding
+    Vp, Tp, Lp = _pad_from_arrow(vals, times, dim)
+    n = Vp.shape[1]
+    assert np.array_equal(V[codes, :n], Vp)
+    assert np.array_equal(T[codes, :n], Tp)
+    assert np.array_equal(L[codes], Lp)
+    # every duplicate id shares one code
+    id_list = [i.as_py() for i in ids]
+    code_of = {}
+    for i, c in zip(id_list, codes):
+        assert code_of.setdefault(i, c) == c
+    # all-unique and all-identical edge cases
+    _, _, L1, c1 = _dedup_side(
+        pa.array(["a", "b"]),
+        pa.array([[1.0, 1.0], [2.0, 2.0]], type=pa.list_(pa.float64())),
+        pa.array([[0.0], [0.0]], type=pa.list_(pa.float64())),
+        dim,
+    )
+    assert len(set(c1.tolist())) == 2 and L1.tolist() == [1, 1]
+    _, _, L2, c2 = _dedup_side(
+        pa.array(["a", "a", "a"]),
+        pa.array([[1.0, 1.0]] * 3, type=pa.list_(pa.float64())),
+        pa.array([[0.0]] * 3, type=pa.list_(pa.float64())),
+        dim,
+    )
+    assert set(c2.tolist()) == {0} and L2.tolist() == [1]
+
+
 def test_minhash_verified_pairs(docs, spark):
     """Verified pairs = LSH candidates post-filtered by exact Jaccard on
     the full shingle sets — must equal the naive all-pairs Jaccard
