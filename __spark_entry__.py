@@ -461,6 +461,72 @@ SELECT conv_id,
 FROM g GROUP BY conv_id
 """
 
+
+def _er_gap_rms(spark, sf_dir):
+    """Per-conversation RMS of inter-turn gaps via a GROUPED-AGG pandas
+    UDF (cutwed_spark/operators/assemble.py:turn_gap_rms) — the UDAF
+    family of the UDF surface; oracle is the plain-SQL equivalent."""
+    from cutwed_spark.operators.assemble import turn_gap_rms
+
+    _register(spark, sf_dir)
+    tr = spark.sql(
+        f"WITH t AS ({SPARK_TRANSCRIPTS}) SELECT conv_id, turn_idx, ts FROM t"
+    )
+    return turn_gap_rms(tr)
+
+
+ER_GAP_RMS_ORACLE = f"""
+WITH t AS ({DUCK_TRANSCRIPTS}),
+g AS (
+  SELECT conv_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0 AS gap_s
+  FROM t
+)
+SELECT conv_id,
+       CAST(round(sqrt(avg(gap_s * gap_s)), 4) AS DOUBLE) AS gap_rms_s,
+       count(gap_s) AS n_gaps
+FROM g WHERE gap_s IS NOT NULL GROUP BY conv_id
+"""
+
+
+def _text_sentences_udtf(spark, sf_dir):
+    """Sentence explosion of the documents table via a registered
+    Python UDTF invoked with LATERAL (cutwed_spark/operators/
+    textstats.py:sentence_split_udtf) — the UDTF family of the UDF
+    surface. Demonstration path: per-row eval; the Catalyst equivalent
+    (explode+split) is the production shape."""
+    from cutwed_spark.operators.textstats import sentence_split_udtf
+
+    spark.udtf.register("split_sentences", sentence_split_udtf())
+    _docs(spark, sf_dir).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+TEXT_SENTENCES_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts FROM documents
+),
+x AS (
+  SELECT doc_id, i, trim(parts[i]) AS sentence
+  FROM s, LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+),
+k AS (
+  SELECT doc_id, sentence, i,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sent_idx
+  FROM x WHERE sentence <> ''
+)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+       CAST(len(string_split_regex(sentence, '\s+')) AS INT) AS n_words
+FROM k
+"""
+
+
 def _er_tool_signatures_spark(spark, sf_dir):
     _register(spark, sf_dir)
     return spark.sql(
@@ -1767,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ER pipeline stages over events-derived transcripts
         "er_assemble_counts": _er_assemble_counts_spark,
         "er_turn_gaps": _er_turn_gaps_spark,
+        "er_gap_rms": _er_gap_rms,
+        "text_sentences_udtf": _text_sentences_udtf,
         "er_tool_signatures": _er_tool_signatures_spark,
         "er_turn_text_block_pairs": _er_turn_text_block_pairs_spark,
         "er_minhash_signatures": _er_minhash_signatures_spark,
@@ -1831,6 +1899,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_active_users": SET_OPS_ACTIVE_USERS,
         "er_assemble_counts": ER_ASSEMBLE_COUNTS_ORACLE,
         "er_turn_gaps": ER_TURN_GAPS_ORACLE,
+        "er_gap_rms": ER_GAP_RMS_ORACLE,
+        "text_sentences_udtf": TEXT_SENTENCES_ORACLE,
         "er_tool_signatures": ER_TOOL_SIGNATURES_ORACLE,
         "er_turn_text_block_pairs": ER_TURN_TEXT_BLOCK_PAIRS_ORACLE,
         "er_minhash_signatures": ER_MINHASH_SIGNATURES_ORACLE,

@@ -14,6 +14,8 @@ and ``array_sort``-ed — the per-row invariant the driver checks
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,6 +161,47 @@ def assemble_with_signatures(
             F.col("n_turns_raw") < F.lit(short_conv_turns),
             signature_from_mins("hw", word_num_hashes),
         ).alias("wsig"),
+    )
+
+
+def turn_gap_rms(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation RMS of inter-turn time gaps via a GROUPED-AGG
+    pandas UDF — the Spark UDAF family (one Arrow-batched pandas Series
+    per group, no per-row Python; completes the engine's UDF-surface
+    matrix next to pandas_udf / mapInArrow / applyInPandas /
+    applyInArrow / mapInPandas / applyInPandasWithState).
+
+    The statistic is deliberately SQL-expressible (sqrt(avg(gap^2)) —
+    the driver's DuckDB oracle) so the family demonstration is
+    oracle-checked end-to-end; the same shape carries group statistics
+    builtins cannot express (robust M-estimators, per-group model
+    fits). Output: (conv_id, gap_rms_s, n_gaps), rounded to 4dp.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = transcripts.select(
+        "conv_id", ((us - F.lag(us).over(w)) / 1e6).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+
+    @pandas_udf("double")
+    def rms(g: pd.Series) -> float:
+        a = g.to_numpy(dtype=np.float64)
+        return float(np.sqrt(np.mean(a * a)))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the gap
+    # count is a second pandas aggregate in the same (single-shuffle)
+    # agg rather than F.count.
+    @pandas_udf("long")
+    def n_vals(g: pd.Series) -> int:
+        return int(len(g))
+
+    return gaps.groupBy("conv_id").agg(
+        F.round(rms("gap_s"), 4).alias("gap_rms_s"),
+        n_vals("gap_s").alias("n_gaps"),
     )
 
 

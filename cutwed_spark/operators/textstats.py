@@ -176,3 +176,39 @@ def hashed_embedding(docs: DataFrame, dim: int = 16) -> DataFrame:
         ]
     )
     return n.select("doc_id", emb.alias("embedding"))
+
+
+def sentence_split_udtf():
+    """Python UDTF (table function) splitting a document into trimmed,
+    non-empty sentences with positions and word counts — the Spark
+    UDTF family, invoked via ``LATERAL``:
+
+        spark.udtf.register("split_sentences", sentence_split_udtf())
+        SELECT d.doc_id, s.* FROM docs d, LATERAL split_sentences(d.text) s
+
+    UDTF ``eval`` runs per input ROW (unlike the engine's hot paths,
+    which are Arrow-batched) — this is coverage of the UDF-surface
+    family, not a throughput path; the production-scale equivalent of
+    this particular split is pure Catalyst
+    (``explode(split(text, '[.!?]+'))`` + trim/filter/window). The
+    split regex matches DuckDB's ``string_split_regex`` so the driver
+    oracle checks it end-to-end.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string, n_words: int")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            if text is None:
+                return
+            idx = 0
+            for raw in re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if not s:
+                    continue
+                idx += 1
+                yield idx, s, len(s.split())
+
+    return SplitSentences
