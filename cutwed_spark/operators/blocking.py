@@ -369,11 +369,49 @@ def block_keys_from_state(
     return lsh.unionByName(wlsh).unionByName(tool).unionByName(ttext)
 
 
+def length_filter_pairs(
+    pairs: DataFrame, state: DataFrame, length_ratio_max: float
+) -> DataFrame:
+    """Comparison-cleaning filter (meta-blocking style): drop candidate
+    pairs whose turn counts differ by more than ``length_ratio_max``
+    (longer/shorter). TWED's delete chain makes a pair with wildly
+    different lengths score far from any match threshold, so these
+    pairs are guaranteed non-matches for any calibrated threshold well
+    below the delete-everything cost — pruning them BEFORE scoring
+    avoids shipping their array payloads through the attach join and
+    the Arrow boundary entirely (the expensive bytes at 100 TB).
+
+    The filter joins only compact columns (conv_id, n_turns) against
+    the slim pair list — two cheap shuffles replacing the pruned
+    pairs' full series transfer. Opt-in via
+    ``PipelineConfig.length_ratio_max``; OFF by default so the scored
+    universe (and the committed goldens) are unchanged unless asked.
+    """
+    if length_ratio_max < 1.0:
+        raise ValueError(
+            f"length_ratio_max must be >= 1 (longer/shorter), "
+            f"got {length_ratio_max}"
+        )
+    n = state.select("conv_id", "n_turns")
+    a = n.select(F.col("conv_id").alias("conv_id_a"), F.col("n_turns").alias("_na"))
+    b = n.select(F.col("conv_id").alias("conv_id_b"), F.col("n_turns").alias("_nb"))
+    return (
+        pairs.join(a, "conv_id_a")
+        .join(b, "conv_id_b")
+        .where(
+            F.greatest("_na", "_nb")
+            <= F.least("_na", "_nb") * F.lit(float(length_ratio_max))
+        )
+        .select(pairs.columns)
+    )
+
+
 def build_candidate_pairs_from_state(
     state: DataFrame,
     band_size: int = DEFAULT_BAND_SIZE,
     num_hashes: int = DEFAULT_NUM_HASHES,
     max_block: int = DEFAULT_MAX_BLOCK,
+    length_ratio_max: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocking from the signature-carrying state table
     -> (pairs, block_stats)."""
@@ -388,6 +426,9 @@ def build_candidate_pairs_from_state(
         .persist()
     )
     kept, stats = prune_oversized_blocks(blocks, max_block)
-    return candidate_pairs(kept), stats
+    pairs = candidate_pairs(kept)
+    if length_ratio_max is not None:
+        pairs = length_filter_pairs(pairs, state, length_ratio_max)
+    return pairs, stats
 
 

@@ -48,6 +48,11 @@ class PipelineConfig:
     band_size: int = 2
     shingle_k: int = 3
     max_block: int = 64
+    # OPT-IN comparison cleaning: drop candidate pairs whose turn counts
+    # differ by more than this ratio (longer/shorter) before any array
+    # payload moves (blocking.length_filter_pairs). None (default)
+    # leaves the scored universe — and the committed goldens — intact.
+    length_ratio_max: float | None = None
     # TWED params (reference defaults nu=1, lambda=1, degree=2,
     # /root/reference/cuTWED/cuTWED.py:37; nu is down-weighted and the
     # time axis scaled to minutes because transcript gaps are tens of
@@ -225,6 +230,7 @@ def run_pipeline(
             num_hashes=cfg.num_hashes,
             band_size=cfg.band_size,
             max_block=cfg.max_block,
+            length_ratio_max=cfg.length_ratio_max,
         )
         metrics["blocking"] = {
             k: (int(v) if v is not None else 0)

@@ -72,3 +72,48 @@ def test_cap_keeps_small_blocks_intact(spark):
     assert st["est_candidate_pairs"] == 10  # 5*4/2 from the small block
     keys = [r["block_key"] for r in kept.select("block_key").distinct().collect()]
     assert keys == [1]
+
+
+def test_length_filter_pairs(spark):
+    from cutwed_spark.operators.blocking import length_filter_pairs
+
+    state = spark.createDataFrame(
+        [("a", 10), ("b", 12), ("c", 25), ("d", 5)],
+        "conv_id string, n_turns int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("c", "d"), ("a", "d")],
+        "conv_id_a string, conv_id_b string",
+    )
+    kept = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in length_filter_pairs(pairs, state, 2.0).collect()
+    }
+    # 10:12 kept; 10:25 (>2x) and 25:5 (5x) pruned; 10:5 exactly 2x kept
+    assert kept == {("a", "b"), ("a", "d")}
+    import pytest
+
+    with pytest.raises(ValueError):
+        length_filter_pairs(pairs, state, 0.5)
+
+
+def test_length_filter_preserves_f1(spark):
+    """Opt-in comparison cleaning must not hurt match quality on the
+    planted-duplicate corpus (dups differ by small turn edits, so a
+    2x length ratio never separates a true pair)."""
+    from cutwed_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from cutwed_spark.sources.synth import synth_corpus
+
+    tr, lab = synth_corpus(120)
+    cfg = PipelineConfig(length_ratio_max=2.0)
+    res = run_pipeline(
+        spark, spark.createDataFrame(tr), cfg, labeled=spark.createDataFrame(lab)
+    )
+    base = run_pipeline(
+        spark,
+        spark.createDataFrame(tr),
+        PipelineConfig(),
+        labeled=spark.createDataFrame(lab),
+    )
+    assert res.evaluation["f1"] >= 0.99
+    assert res.metrics["n_scored_pairs"] <= base.metrics["n_scored_pairs"]
