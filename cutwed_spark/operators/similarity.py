@@ -322,9 +322,15 @@ def lsh_cosine_topk(
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cand = (
+    # TRIL + mirror: the dim-length dot-product fold is the hot
+    # expression of the self-join output, and cosine is symmetric — so
+    # compute it once per unordered pair (vec_id < neighbor_id, the
+    # reference's triangle option as a join predicate,
+    # /root/reference/src/cuTWED.h:24-26) and emit the mirrored row by
+    # column swap. Halves the fold work and the dedup input.
+    tril = (
         a.join(b, "bucket")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .where(F.col("vec_id") < F.col("neighbor_id"))
         .select(
             "vec_id",
             "neighbor_id",
@@ -335,7 +341,14 @@ def lsh_cosine_topk(
     )
     if n_tables > 1:
         # a pair colliding in several tables must rank once
-        cand = cand.dropDuplicates(["vec_id", "neighbor_id"])
+        tril = tril.dropDuplicates(["vec_id", "neighbor_id"])
+    cand = tril.unionByName(
+        tril.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
