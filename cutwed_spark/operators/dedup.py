@@ -49,8 +49,19 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
 
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word k-gram shingles of normalized
-    text; docs shorter than k words contribute their whole text."""
-    words = F.split(normalized_text(), " ")
+    text; docs shorter than k words contribute their whole text.
+
+    The word array is materialized as its OWN projection before the
+    higher-order transform: Spark skips common-subexpression
+    elimination inside HOF lambdas, so inlining the normalize+split
+    tree into the per-shingle ``slice`` recomputes the regex split per
+    OUTPUT shingle (interleaved A/B on the sf0.1 documents: 3.8 s ->
+    0.85 s warm for the shingle subtree — the same trap featurize.py
+    documents)."""
+    staged = docs.select(
+        "doc_id", F.split(normalized_text(), " ").alias("_words")
+    )
+    words = F.col("_words")
     shingles = F.when(
         F.size(words) >= k,
         F.transform(
@@ -58,7 +69,7 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return docs.select(
+    return staged.select(
         "doc_id", F.explode(shingles).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
 
