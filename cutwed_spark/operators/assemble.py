@@ -49,17 +49,40 @@ def assemble_series(
         ).alias("turns"),
         F.count(F.lit(1)).alias("n_turns_raw"),
     )
-    return collected.select("conv_id", *_series_columns(max_turns))
+    staged = _stage_turns(collected, max_turns)
+    return staged.select("conv_id", *_series_columns())
 
 
-def _series_columns(max_turns: int | None) -> list:
-    """Projection from the collected (turns, n_turns_raw) aggregate to
-    the series columns (shared by assemble_series and
-    assemble_with_signatures)."""
+def _stage_turns(collected: DataFrame, max_turns: int | None, keep=()) -> DataFrame:
+    """Materialize the (possibly slice-capped) sorted turn array and
+    its first timestamp as their OWN aliased projections before the
+    series columns reference them. Without this, the ``slice`` tree is
+    inlined into every consumer — six references including one INSIDE
+    the per-element ``times`` lambda (``t0``), where HOF lambdas get no
+    common-subexpression elimination: that re-sliced (copied) the turn
+    array once per turn per conversation. Multiply-referenced non-cheap
+    aliases also block CollapseProject from undoing the split."""
     turns = F.col("turns")
     if max_turns is not None:
-        turns = F.slice(F.col("turns"), 1, max_turns)
-    t0 = turns[0]["t"]
+        turns = F.slice(turns, 1, max_turns)
+    s1 = collected.select(
+        "conv_id", "n_turns_raw", *keep, turns.alias("_turns")
+    )
+    return s1.select(
+        "conv_id",
+        "n_turns_raw",
+        *keep,
+        "_turns",
+        F.col("_turns")[0]["t"].alias("_t0"),
+    )
+
+
+def _series_columns() -> list:
+    """Projection from the staged (_turns, _t0, n_turns_raw) columns to
+    the series columns (shared by assemble_series and
+    assemble_with_signatures; stage with ``_stage_turns`` first)."""
+    turns = F.col("_turns")
+    t0 = F.col("_t0")
     return [
         F.size(turns).cast("int").alias("n_turns"),
         (F.col("n_turns_raw") - F.size(turns)).cast("int").alias("n_truncated"),
@@ -153,9 +176,13 @@ def assemble_with_signatures(
         *[F.min(f"m{i}").alias(f"hm{i}") for i in range(num_hashes)],
         *[F.min(f"w{i}").alias(f"hw{i}") for i in range(word_num_hashes)],
     )
-    return collected.select(
+    sig_cols = [f"hm{i}" for i in range(num_hashes)] + [
+        f"hw{i}" for i in range(word_num_hashes)
+    ]
+    staged = _stage_turns(collected, max_turns, keep=sig_cols)
+    return staged.select(
         "conv_id",
-        *_series_columns(max_turns),
+        *_series_columns(),
         signature_from_mins("hm", num_hashes).alias("sig"),
         F.when(
             F.col("n_turns_raw") < F.lit(short_conv_turns),
