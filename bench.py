@@ -551,8 +551,13 @@ def main() -> None:
     for _ in range(2):
         small_runs.append(_spawn(f"pipelinem:{SMALL_CORES}"))
         big_runs.append(_spawn(f"pipeline:{CPUS}"))
+    # 6 interleaved reps: the CPU-time efficiency is a MEDIAN of
+    # per-rep ratios, and on this 2-3x-noise host 4 reps let a single
+    # co-tenant burst drag the median below the engine's real value
+    # (observed 0.77 in one recorded window vs 0.92-0.99 quiet); two
+    # more reps cost ~2 min and stabilize the median.
     kern_small_runs, kern_big_runs = [], []
-    for _ in range(4):
+    for _ in range(6):
         kern_small_runs.append(_spawn(f"kernelm:{SMALL_CORES}"))
         kern_big_runs.append(_spawn(f"kernel:{CPUS}"))
     kern_small = max(kern_small_runs, key=lambda r: r["pairs_per_sec"])
