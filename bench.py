@@ -653,12 +653,15 @@ def main() -> None:
             "small_arm_ballast": small_runs[0].get("ballast", 0),
             # Per-stage steady-wall efficiency (best interleaved rep):
             # separates stages that genuinely scale (assemble — the
-            # heaviest JVM scan+agg stage) from fixed-cost small stages
-            # (threshold/cluster at this corpus: seconds of job
-            # scheduling, which vanish relative to work at scale) and
-            # from the Arrow-payload score stage, which on ONE box is
-            # DRAM-bandwidth-capped (kernel ballast cannot reproduce a
-            # second node's memory bus).
+            # heaviest JVM scan+agg stage, 0.83-1.04 measured) from
+            # stages dominated at this corpus size by per-stage latency
+            # floors — task launch, Arrow socket round-trips, stage
+            # barriers — which 8 cores overlap with compute but 32
+            # cores expose on a seconds-scale stage. Measured and ruled
+            # out: DRAM bandwidth (STREAM triad scales linearly to 32
+            # workers on this box) and partition-count/skew (64->512
+            # sweep flat). The floor amortizes at real per-stage work
+            # sizes; see BASELINE.md methodology.
             "stage_wall_efficiency": {
                 stage: round(
                     max(
@@ -678,9 +681,11 @@ def main() -> None:
                 "N- vs 4N-node clusters where every node is fully busy "
                 "at both sizes; efficiency = best interleaved-rep "
                 "scoring-throughput ratio, wall_efficiency = best "
-                "steady-wall ratio; residual loss is the single shared "
-                "shuffle volume + memory bus, which a multi-node cluster "
-                "does not share"
+                "steady-wall ratio; residual loss is per-stage latency "
+                "floors exposed at 32 cores on seconds-scale stages "
+                "(DRAM bandwidth and partition skew measured and ruled "
+                "out — see stage_wall_efficiency and BASELINE.md); "
+                "stages with real per-task work (assemble) scale 0.83+"
             ),
         },
         "kernel_scaling": {
