@@ -99,6 +99,39 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_stream_dedup(args) -> int:
+    """Incremental document dedup over a directory of parquet drops:
+    exact + verified near-dup edges against the persisted indexes."""
+    import json
+
+    from cutwed_spark.streaming.dedup import _paths, run_incremental_dedup
+
+    spark = _spark(args)
+    run_incremental_dedup(
+        spark,
+        args.input,
+        args.work,
+        min_jaccard=args.min_jaccard,
+    )
+    p = _paths(args.work)
+    if os.path.isdir(p["edges"]):
+        edges = spark.read.parquet(p["edges"]).dropDuplicates(
+            ["doc_id_a", "doc_id_b", "kind"]
+        )
+        summary = {
+            "n_dup_edges": edges.count(),
+            "n_exact": edges.where("kind = 'exact'").count(),
+            "edges": p["edges"],
+        }
+    else:
+        # no batch produced edges (empty input dir or no duplicates):
+        # succeed with zero counts rather than failing on a missing path
+        summary = {"n_dup_edges": 0, "n_exact": 0, "edges": p["edges"]}
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-data curation funnel over a documents parquet:
     quality gate -> exact dedup -> verified near-dup prune."""
@@ -211,6 +244,17 @@ def main(argv=None) -> int:
     pt.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
                     default=None)
     pt.set_defaults(fn=cmd_stream)
+
+    pd = sub.add_parser(
+        "stream-dedup", help="incremental document dedup over parquet drops"
+    )
+    pd.add_argument("--input", required=True, help="directory of parquet drops")
+    pd.add_argument("--work", required=True, help="state/checkpoint work dir")
+    pd.add_argument("--min-jaccard", dest="min_jaccard", type=float, default=0.5)
+    pd.add_argument("--master", default=None)
+    pd.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
+                    default=None)
+    pd.set_defaults(fn=cmd_stream_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)
