@@ -216,6 +216,40 @@ SELECT user_id,
 FROM deltas GROUP BY user_id
 """
 
+# Window RANGE frame: rolling 1-hour per-user aggregates ordered by
+# event time as epoch seconds — the frame is defined by VALUE distance
+# (3600 s), not row count, so ties and gaps behave correctly. Dialect
+# split only in the epoch extraction (unix_micros vs epoch_us).
+EVENTS_ROLLING_1H_SPARK = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT) AS es,
+         value
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_events_1h,
+       CAST(round(sum(value) OVER w, 4) AS DOUBLE) AS value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+EVENTS_ROLLING_1H_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) / 1000000 AS BIGINT) AS es,
+         value
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_events_1h,
+       CAST(round(sum(value) OVER w, 4) AS DOUBLE) AS value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
 EVENTS_CUBE = """
 SELECT event_type,
        CAST(year(ts) AS INT) AS event_year,
@@ -1825,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_balance_by_nation": _sql_query(ABOVE_AVG_BALANCE_BY_NATION),
         "events_type_stats": _sql_query(EVENTS_TYPE_STATS),
         "events_sessionize": _sql_query(EVENTS_SESSIONIZE),
+        "events_rolling_1h": _sql_query(EVENTS_ROLLING_1H_SPARK),
         "events_cube": _sql_query(EVENTS_CUBE),
         "events_json_stats": _sql_query(EVENTS_JSON_STATS_SPARK),
         "events_asof_attribution": _events_asof_attribution,
@@ -1892,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "above_avg_balance_by_nation": ABOVE_AVG_BALANCE_BY_NATION,
         "events_type_stats": EVENTS_TYPE_STATS,
         "events_sessionize": EVENTS_SESSIONIZE,
+        "events_rolling_1h": EVENTS_ROLLING_1H_ORACLE,
         "events_cube": EVENTS_CUBE,
         "events_json_stats": EVENTS_JSON_STATS_ORACLE,
         "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_ORACLE,
