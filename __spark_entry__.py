@@ -135,9 +135,9 @@ GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
 # the pivot relational op, not just its SQL rewrite.
 ORDERS_PIVOT_ORACLE = """
 SELECT year(o_orderdate) AS order_year,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
 FROM orders
 GROUP BY year(o_orderdate)
 """
@@ -223,7 +223,7 @@ FROM deltas GROUP BY user_id
 EVENTS_ROLLING_1H_SPARK = """
 WITH e AS (
   SELECT event_id, user_id,
-         CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT) AS es,
+         CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT) AS es,
          value
   FROM events
 )
@@ -238,7 +238,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY es
 EVENTS_ROLLING_1H_ORACLE = """
 WITH e AS (
   SELECT event_id, user_id,
-         CAST(epoch_us(ts) / 1000000 AS BIGINT) AS es,
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS es,
          value
   FROM events
 )
