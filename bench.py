@@ -43,6 +43,18 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("CUTWED_BENCH_CONVS", "100000"))
+# Score-scaling probe size: enough pairs that the 32-core stage wall is
+# tens of seconds (>= 15x the ~2 s per-stage latency floor that
+# dominates the seconds-scale in-pipeline score stage), without pushing
+# the 8-core arm past ~3 minutes. Raise for one-off deep probes.
+SCORESCALE_PAIRS = int(os.environ.get("CUTWED_SCORESCALE_PAIRS", "5000000"))
+# Sidecar for the full bench detail (notes, per-rep arrays, cold stage
+# maps): the driver records only a bounded stdout tail, so the FINAL
+# stdout line must stay compact (round-3 lesson: a 2 KB+ line truncates
+# and the whole round's numbers become unparseable).
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 TURN_P = 0.05  # geometric turn-count parameter -> ~24 turns/conversation
 CORPUS_DIR = f"/tmp/cutwed_bench_corpus_{N_CONVS}_p{TURN_P}"
 SMALL_CORES = max(CPUS // 4, 1)
@@ -370,6 +382,15 @@ def run_pipeline_bench_matched(n_cores: int) -> dict:
     cache/bandwidth a fully-busy 8-core node would have, structurally
     understating the N-vs-4N ratio (the kernel arms measured this
     exactly: 0.76-0.90 unmatched vs 0.985 matched)."""
+    out = _run_with_ballast(n_cores, lambda: run_pipeline_bench(n_cores))
+    out["ballast"] = CPUS - n_cores
+    return out
+
+
+def _run_with_ballast(n_cores: int, fn):
+    """Affinity-restrict this process (and its py4j JVM + Python UDF
+    workers) to ``n_cores`` cores and keep the remaining cores busy
+    with untimed kernel ballast while ``fn`` runs."""
     import multiprocessing as mp
 
     try:
@@ -388,13 +409,118 @@ def run_pipeline_bench_matched(n_cores: int) -> dict:
     for ev in ready:
         ev.wait()
     try:
-        out = run_pipeline_bench(n_cores)
+        return fn()
     finally:
         stop_evt.set()
         for p in procs:
             p.join()
-    out["ballast"] = CPUS - n_cores
-    return out
+
+
+def run_score_scaling(n_cores: int) -> dict:
+    """Decisive score-STAGE scaling probe (round-3 verdict item #4):
+    the in-pipeline score stage runs ~4-6 s at 32 cores, so its 8-vs-32
+    wall ratio mostly measures the ~2 s per-stage fixed cost (task
+    launch, Arrow socket setup, stage barrier), not the engine. This
+    probe runs the SAME score_candidates operator on the same corpus
+    but over SCORESCALE_PAIRS deterministic ring pairs — enough work
+    that the 32-core wall is tens of seconds and the floor is <10% —
+    then reports best-of-reps wall per arm.
+
+    Ring pairs (i, (i+off) mod n) for off=1..m visit every unordered
+    pair at most once (m << n/2) and reuse the real assembled series,
+    so payload shape, join pattern, and Arrow batch profile are
+    identical to the production stage; only the candidate count is
+    synthetic (pair count must not depend on blocking parameters for a
+    controlled scaling read)."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cutwed_spark.operators.assemble import assemble_series
+    from cutwed_spark.operators.scoring import score_candidates
+    from cutwed_spark.plans.pipeline import PipelineConfig
+    from cutwed_spark.session import get_spark
+
+    cfg = PipelineConfig(num_partitions=2 * n_cores)
+    spark = get_spark(
+        app_name=f"cutwed-scorescale-{n_cores}",
+        master=f"local[{n_cores}]",
+        shuffle_partitions=2 * n_cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tr = spark.read.parquet(os.path.join(CORPUS_DIR, "transcripts.parquet"))
+    _warm_workers(spark, 2 * n_cores)
+    series = (
+        assemble_series(
+            tr.repartition(2 * n_cores, "conv_id"),
+            cfg.n_buckets,
+            cfg.max_turns,
+            bucket_scale=cfg.bucket_scale,
+            role_scale=cfg.role_scale,
+        )
+        .select("conv_id", "values_flat", "times")
+        .persist()
+    )
+    n = series.count()
+    m = max(1, (SCORESCALE_PAIRS + n - 1) // n)
+    # Prep-only single-partition window over n conv ids (seconds at 1M
+    # rows); the timed section never sees it.
+    idx = (
+        series.select("conv_id")
+        .withColumn("i", F.row_number().over(Window.orderBy("conv_id")) - 1)
+        .persist()
+    )
+    offs = spark.range(1, m + 1).withColumnRenamed("id", "off")
+    ij = idx.crossJoin(offs).select(
+        "i", ((F.col("i") + F.col("off")) % n).alias("j")
+    )
+    pairs = (
+        ij.join(idx.select("i", F.col("conv_id").alias("conv_id_a")), "i")
+        .join(
+            idx.select(
+                F.col("i").alias("j"), F.col("conv_id").alias("conv_id_b")
+            ),
+            "j",
+        )
+        .select("conv_id_a", "conv_id_b")
+        .repartition(2 * n_cores)
+        .persist()
+    )
+    n_pairs = pairs.count()
+
+    def _score(p):
+        return score_candidates(
+            p,
+            series,
+            dim=cfg.dim,
+            nu=cfg.nu,
+            lamb=cfg.lamb,
+            degree=cfg.degree,
+            num_partitions=cfg.num_partitions,
+            time_scale=cfg.time_scale,
+        )
+
+    # Codegen/JVM warmup on a small slice so the first timed rep is a
+    # steady-state stage, then best-of-2 timed reps (host noise).
+    _score(pairs.limit(10_000)).write.format("noop").mode("overwrite").save()
+    walls = []
+    # 2 reps on the headline (big) arm; the small arm's wall is ~4x
+    # longer, which self-averages host noise — 1 rep keeps the probe
+    # inside the bench's time budget.
+    for _ in range(2 if n_cores >= CPUS else 1):
+        t0 = _time.monotonic()
+        _score(pairs).write.format("noop").mode("overwrite").save()
+        walls.append(round(_time.monotonic() - t0, 2))
+    spark.stop()
+    best = min(walls)
+    return {
+        "cores": n_cores,
+        "n_pairs": n_pairs,
+        "walls": walls,
+        "wall_sec": best,
+        "pairs_per_sec": round(n_pairs / max(best, 1e-9), 1),
+    }
 
 
 def run_query_bench() -> dict:
@@ -520,6 +646,14 @@ def _worker_main(mode: str) -> None:
     elif mode.startswith("kernel"):
         workers = int(mode.split(":")[1])
         print("WORKER_JSON " + json.dumps(run_kernel_scaling(workers)))
+    elif mode.startswith("scorescalem"):
+        cores = int(mode.split(":")[1])
+        out = _run_with_ballast(cores, lambda: run_score_scaling(cores))
+        out["ballast"] = CPUS - cores
+        print("WORKER_JSON " + json.dumps(out))
+    elif mode.startswith("scorescale"):
+        cores = int(mode.split(":")[1])
+        print("WORKER_JSON " + json.dumps(run_score_scaling(cores)))
     elif mode == "queries":
         print("WORKER_JSON " + json.dumps(run_query_bench()))
 
@@ -562,6 +696,10 @@ def main() -> None:
         kern_big_runs.append(_spawn(f"kernel:{CPUS}"))
     kern_small = max(kern_small_runs, key=lambda r: r["pairs_per_sec"])
     kern_big = max(kern_big_runs, key=lambda r: r["pairs_per_sec"])
+    # Decisive score-stage probe: same operator, ~10x the in-pipeline
+    # pair count, adjacent windows, small arm ballast-matched.
+    ss_small = _spawn(f"scorescalem:{SMALL_CORES}")
+    ss_big = _spawn(f"scorescale:{CPUS}")
     queries = _spawn("queries")
 
     small = max(small_runs, key=lambda r: r["pairs_per_sec"])
@@ -712,7 +850,72 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(out))
+    out["score_scaling"] = {
+        "n_pairs": ss_big["n_pairs"],
+        f"workers{SMALL_CORES}_wall_sec": ss_small["wall_sec"],
+        f"workers{CPUS}_wall_sec": ss_big["wall_sec"],
+        f"workers{SMALL_CORES}_pairs_per_sec": ss_small["pairs_per_sec"],
+        f"workers{CPUS}_pairs_per_sec": ss_big["pairs_per_sec"],
+        "walls_small": ss_small["walls"],
+        "walls_big": ss_big["walls"],
+        "efficiency": round(
+            ss_small["wall_sec"] / max(ss_big["wall_sec"], 1e-9) / ratio, 4
+        ),
+        "small_arm_ballast": ss_small.get("ballast", 0),
+        "note": (
+            "score_candidates over ~10x the in-pipeline pair count on "
+            "the same corpus/series (deterministic ring pairs), sized "
+            "so the 32-core stage wall swamps the ~2 s per-stage "
+            "latency floor that dominates the seconds-scale "
+            "in-pipeline score stage; small arm ballast-matched"
+        ),
+    }
+    # Full detail (prose notes, per-rep arrays, cold stage maps) goes to
+    # the sidecar; the FINAL stdout line is a compact headline the
+    # driver's bounded stdout tail always captures whole (round-3
+    # artifact was unparseable because this line grew past ~2 KB).
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: v for k, v in q.items()},
+        "sf": out["sf"],
+        "n_conversations": N_CONVS,
+        "pairs_scored": out["pairs_scored"],
+        "pairs_per_sec": out["pairs_per_sec"],
+        "turns_per_sec": out["turns_per_sec"],
+        "f1": round(out["f1"], 5) if out["f1"] is not None else None,
+        "wall_cold": out["cold"]["wall_sec_first_run_arms"],
+        "scaling": {
+            "efficiency": out["scaling"]["efficiency"],
+            "wall_efficiency": out["scaling"]["wall_efficiency"],
+            "stage_wall_efficiency": out["scaling"]["stage_wall_efficiency"],
+        },
+        "kernel_scaling": {
+            "efficiency": kern_eff,
+            "cpu_time_efficiency": kern_cpu_eff,
+        },
+        "score_scaling": {
+            "n_pairs": ss_big["n_pairs"],
+            "wall8": ss_small["wall_sec"],
+            "wall32": ss_big["wall_sec"],
+            "efficiency": out["score_scaling"]["efficiency"],
+        },
+        "ann_recall": ann_recall,
+        "detail": os.path.basename(DETAIL_PATH),
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    # Hard guard: the driver tail is ~2000 chars — if the headline ever
+    # outgrows it, shed the least essential fields (per-query timings
+    # first; they live in the sidecar regardless) rather than truncate.
+    while len(line) > 1800 and headline["queries"]:
+        drop = max(headline["queries"], key=len)
+        del headline["queries"][drop]
+        headline["queries_truncated_see_detail"] = True
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
