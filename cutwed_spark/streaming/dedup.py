@@ -131,7 +131,12 @@ def _dedup_batch(
         ).select(F.col("doc_id").alias("a"), F.col("doc_id_r").alias("b")),
         "a",
         "b",
-    ).select("doc_id_a", "doc_id_b", F.lit("exact").alias("kind"), F.lit(1.0).alias("jaccard"))
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    ).persist()
 
     # --- near-dup candidates via the persisted band index ----------
     sh_new = doc_shingles(docs, k).persist()
@@ -152,6 +157,13 @@ def _dedup_batch(
     )
     kept = touched.join(ok, "band_key")
     kept_new = kept.join(docs.select("doc_id"), "doc_id", "left_semi")
+    # exact pairs verify trivially at jaccard 1.0 through the band path
+    # (identical docs share every band key), so anti-join them away:
+    # each exact pair is emitted exactly once with kind='exact', and no
+    # shingle-intersection work is spent on pairs already known
+    # identical. This batch's `exact` set is complete for the purpose:
+    # every candidate has >=1 new side, and any exact dup touching a
+    # new doc is caught above via the hash index.
     cand = _tril(
         kept.alias("l")
         .join(kept_new.alias("r"), "band_key")
@@ -160,6 +172,10 @@ def _dedup_batch(
         ),
         "a",
         "b",
+    ).join(
+        exact.select("doc_id_a", "doc_id_b"),
+        ["doc_id_a", "doc_id_b"],
+        "left_anti",
     )
 
     # --- verification: exact Jaccard over the shingle sets ---------
@@ -184,6 +200,13 @@ def _dedup_batch(
         sh_all = sh_new.unionByName(old_sh)
     else:
         sh_all = sh_new
+    # Replay safety: a foreachBatch crash-replay (at-least-once) or a
+    # doc_id re-delivered across drops re-appends that doc's shingle
+    # rows to the store; row-counted sizes/intersections would then
+    # inflate asymmetrically and can flip the min_jaccard decision.
+    # Dedup on (doc_id, shingle) first so both aggregates count SETS,
+    # matching the band cap's count_distinct convention.
+    sh_all = sh_all.dropDuplicates(["doc_id", "shingle"])
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(
@@ -236,7 +259,7 @@ def _dedup_batch(
         .partitionBy("bkt")
         .parquet(p["shingles"])
     )
-    for df in (docs, h_new, sh_new, keys_new, need):
+    for df in (docs, h_new, sh_new, keys_new, need, exact):
         df.unpersist()
 
 
