@@ -18,10 +18,31 @@ across summation orders.
 
 from __future__ import annotations
 
+import functools
 import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cutwed_spark.cache import deferred_cache_scope
+
+
+def _scoped(fn):
+    """Run a contract entry inside a deferred cache scope: invoking any
+    entry releases the operator-internal caches (`scoped_persist`) of
+    the PREVIOUS entry, so a full driver sweep holds at most one
+    entry's caches instead of accumulating them for session lifetime.
+    Release is deferred (not in-call) because the driver materializes
+    the returned DataFrame after the callable returns — an in-call
+    scope would unpersist before execution."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with deferred_cache_scope():
+            return fn(spark, sf_dir)
+
+    return wrapped
+
 
 TABLES = [
     "region",
@@ -1845,7 +1866,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # relational shell (shared ANSI SQL both engines)
         "q1_pricing_summary": _sql_query(Q1_PRICING),
         "q3_top_revenue": _sql_query(Q3_TOP_REVENUE),
@@ -1911,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": _er_blocking_quality,
         "er_threshold_sweep": _er_threshold_sweep,
     }
+    return {name: _scoped(fn) for name, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,6 +39,46 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+_DEFERRED: list[DataFrame] = []
+
+
+def release_deferred() -> int:
+    """Unpersist the caches captured by the most recent
+    :func:`deferred_cache_scope`; returns how many were released."""
+    n = len(_DEFERRED)
+    for df in _DEFERRED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _DEFERRED.clear()
+    return n
+
+
+@contextmanager
+def deferred_cache_scope():
+    """A cache_scope whose release is deferred to the NEXT
+    deferred_cache_scope entry (or an explicit
+    :func:`release_deferred`).
+
+    Driver-contract entries return LAZY DataFrames that the harness
+    materializes only after the callable returns, so an in-call
+    cache_scope would unpersist before execution and forfeit the
+    multi-consumer reuse the persist exists for. Deferring release to
+    the next entry keeps at most ONE entry's operator-internal caches
+    alive at a time: a full queries() sweep (or repeated sweeps on a
+    long-lived driver) no longer accumulates persists for the session
+    lifetime."""
+    release_deferred()
+    frame: list[DataFrame] = []
+    _SCOPES.append(frame)
+    try:
+        yield
+    finally:
+        _SCOPES.pop()
+        _DEFERRED.extend(frame)
+
+
 @contextmanager
 def cache_scope():
     """Unpersist every scoped_persist taken inside the block on exit.

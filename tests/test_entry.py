@@ -50,6 +50,35 @@ def test_query_matches_oracle(spark, duck, name):
             assert (s[c].astype(str) == d[c].astype(str)).all(), (name, c)
 
 
+def test_queries_sweep_releases_caches(spark):
+    """Contract entries run inside deferred cache scopes: each entry
+    releases the previous entry's operator-internal caches
+    (scoped_persist), so a driver sweep holds at most ONE entry's
+    caches and an explicit release_deferred() frees the last —
+    repeated sweeps on a long-lived driver cannot accumulate persists
+    (round-3 verdict item: cache.py no-ops without an active scope)."""
+    from cutwed_spark.cache import release_deferred
+
+    qs = entry.queries()
+    cache_heavy = [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_verified",
+        "curation_funnel",
+        "emb_ivf_topk",
+    ]
+
+    def persisted_ids():
+        # ids, not counts: ContextCleaner may concurrently GC caches
+        # left by other tests in this shared session
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = persisted_ids()
+    for name in cache_heavy:
+        qs[name](spark, SF_DIR).count()  # materialize like the driver
+    release_deferred()
+    assert not (persisted_ids() - before)
+
+
 def test_all_queries_have_impls():
     q = entry.queries()
     o = entry.oracle_sql()
