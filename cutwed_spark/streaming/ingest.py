@@ -382,11 +382,22 @@ def publish_bucketed_state(
 
 
 def finalize(
-    spark: SparkSession, work_dir: str, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    work_dir: str,
+    cfg: PipelineConfig | None = None,
+    state_table: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch epilogue over the accumulated stream state: threshold the
     scored edges (cfg.threshold required — streaming has no labeled
     calibration) and run connected components.
+
+    ``state_table``: name of a catalog table published by
+    :func:`publish_bucketed_state`. When given and present, the state
+    side reads from it instead of the plain parquet dir — the scan
+    arrives hash-partitioned by conv_id, so the distinct and any
+    downstream conv_id join/agg plan without an Exchange on the
+    multi-TB side. Falls back to the plain dir when the table is
+    absent (no metastore), correctness-neutral either way.
     Returns (edges, clusters)."""
     cfg = cfg or PipelineConfig()
     p = _paths(work_dir)
@@ -395,7 +406,12 @@ def finalize(
     )
     thr = cfg.threshold if cfg.threshold is not None else 0.35
     edges = scored.where(F.col(cfg.score_col) <= F.lit(thr))
-    state = spark.read.parquet(p["state"])
+    if state_table is not None and spark.catalog.tableExists(state_table):
+        from cutwed_spark.sources.io import read_bucketed
+
+        state = read_bucketed(spark, state_table)
+    else:
+        state = spark.read.parquet(p["state"])
     clusters, _ = assign_clusters(
         state.select("conv_id").dropDuplicates(["conv_id"]), edges
     )

@@ -112,6 +112,16 @@ def test_cli_stream(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_match_edges"] > 0
     assert spark.read.parquet(os.path.join(summary["out"], "clusters")).count() > 0
+    # the drained state is published as a conv_id-bucketed catalog
+    # table by default (finalize + later scoring sessions join it
+    # Exchange-free on the state side)
+    try:
+        assert summary["bucketed_state_table"] == "er_state_bucketed"
+        assert spark.catalog.tableExists("er_state_bucketed")
+        n_state = spark.read.parquet(os.path.join(work, "state")).count()
+        assert spark.table("er_state_bucketed").count() == n_state
+    finally:
+        spark.sql("DROP TABLE IF EXISTS er_state_bucketed")
 
 
 @pytest.mark.slow

@@ -138,6 +138,37 @@ def test_incremental_candidates_scan_only_index(spark, split_corpus):
     assert cand.count() >= 0
 
 
+def test_finalize_routes_through_bucketed_state(spark, split_corpus):
+    """finalize(state_table=...) must read the state side from the
+    bucketed catalog table (hash-partitioned by conv_id at the scan, no
+    Exchange for the distinct) and return the same clusters as the
+    plain-parquet path."""
+    from cutwed_spark.streaming.ingest import publish_bucketed_state
+
+    in_dir, work_dir, _, _ = split_corpus
+    cfg = PipelineConfig(threshold=THRESHOLD)
+    e_plain, c_plain = finalize(spark, work_dir, cfg)
+    plain = {r["conv_id"]: r["cluster_id"] for r in c_plain.collect()}
+    spark.sql("DROP TABLE IF EXISTS t_finalize_bk")
+    try:
+        publish_bucketed_state(spark, work_dir, table="t_finalize_bk",
+                               n_buckets=8)
+        e_bk, c_bk = finalize(spark, work_dir, cfg,
+                              state_table="t_finalize_bk")
+        plan = c_bk._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "t_finalize_bk" in plan and "Bucketed: true" in plan
+        assert {r["conv_id"]: r["cluster_id"] for r in c_bk.collect()} == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_finalize_bk")
+    # absent table degrades to the plain dir, correctness-neutral
+    _, c_missing = finalize(spark, work_dir, cfg, state_table="no_such_tbl")
+    assert {r["conv_id"]: r["cluster_id"] for r in c_missing.collect()} == plain
+
+
 def test_compact_stream_state(spark, split_corpus, tmp_path):
     """Compaction shrinks the per-batch file accumulation without
     changing finalize's answer, and the version marker survives."""
