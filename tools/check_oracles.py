@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -70,14 +71,16 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failed.append(name)
             continue
+        dt = time.monotonic() - t0
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows [{dt:.1f}s]")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
@@ -87,10 +90,10 @@ def main() -> int:
             continue
         problems = compare(name, sdf, ddf)
         if problems:
-            print(f"FAIL {name} ({len(sdf)} rows): " + " | ".join(problems))
+            print(f"FAIL {name} ({len(sdf)} rows) [{dt:.1f}s]: " + " | ".join(problems))
             failed.append(name)
         else:
-            print(f"OK   {name}: {len(sdf)} rows match")
+            print(f"OK   {name}: {len(sdf)} rows match [{dt:.1f}s]")
     print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
