@@ -706,6 +706,13 @@ def main() -> None:
     for _ in range(2):
         ss_big_runs.append(_spawn(f"scorescale:{CPUS}"))
         ss_small_runs.append(_spawn(f"scorescalem:{SMALL_CORES}"))
+    # One UNMATCHED (idle-box) small arm brackets the truth: idle 8
+    # cores enjoy ~4x the shared L3/DRAM per timed core (UNDERstates
+    # the N-vs-4N ratio), while pure-kernel ballast is harsher on
+    # shared resources than the stage's own JVM+Arrow+kernel mix
+    # (OVERstates it). Measured 77.1 s idle vs 138-170 s matched vs
+    # 32.1 s at 32 cores -> efficiency in [0.60, 1.07].
+    ss_free = _spawn(f"scorescale:{SMALL_CORES}")
     ss_small = min(ss_small_runs, key=lambda r: r["wall_sec"])
     ss_big = min(ss_big_runs, key=lambda r: r["wall_sec"])
     ss_small["walls"] = sorted(
@@ -873,13 +880,21 @@ def main() -> None:
         "efficiency": round(
             ss_small["wall_sec"] / max(ss_big["wall_sec"], 1e-9) / ratio, 4
         ),
+        f"workers{SMALL_CORES}_wall_sec_unmatched": ss_free["wall_sec"],
+        "efficiency_unmatched": round(
+            ss_free["wall_sec"] / max(ss_big["wall_sec"], 1e-9) / ratio, 4
+        ),
         "small_arm_ballast": ss_small.get("ballast", 0),
         "note": (
             "score_candidates over ~10x the in-pipeline pair count on "
             "the same corpus/series (deterministic ring pairs), sized "
             "so the 32-core stage wall swamps the ~2 s per-stage "
             "latency floor that dominates the seconds-scale "
-            "in-pipeline score stage; small arm ballast-matched"
+            "in-pipeline score stage. efficiency = ballast-matched "
+            "small arm (node-filling; overstates: pure-kernel ballast "
+            "is harsher than the stage's JVM+Arrow+kernel mix); "
+            "efficiency_unmatched = idle-box small arm (understates: "
+            "~4x shared L3/DRAM per timed core); truth in between"
         ),
     }
     # Full detail (prose notes, per-rep arrays, cold stage maps) goes to
@@ -914,6 +929,9 @@ def main() -> None:
             "wall8": ss_small["wall_sec"],
             "wall32": ss_big["wall_sec"],
             "efficiency": out["score_scaling"]["efficiency"],
+            "efficiency_unmatched": out["score_scaling"][
+                "efficiency_unmatched"
+            ],
         },
         "ann_recall": ann_recall,
         "detail": os.path.basename(DETAIL_PATH),
