@@ -936,16 +936,22 @@ def main() -> None:
         "ann_recall": ann_recall,
         "detail": os.path.basename(DETAIL_PATH),
     }
+    print(_shrink_headline(headline))
+
+
+def _shrink_headline(headline: dict, limit: int = 1800) -> str:
+    """Hard guard for the artifact contract: the driver records a
+    bounded (~2000 char) stdout tail, so the final line must fit whole.
+    If the headline outgrows ``limit``, shed the least essential fields
+    (per-query timings first — they live in the sidecar regardless)
+    rather than truncate mid-JSON."""
     line = json.dumps(headline, separators=(",", ":"))
-    # Hard guard: the driver tail is ~2000 chars — if the headline ever
-    # outgrows it, shed the least essential fields (per-query timings
-    # first; they live in the sidecar regardless) rather than truncate.
-    while len(line) > 1800 and headline["queries"]:
+    while len(line) > limit and headline["queries"]:
         drop = max(headline["queries"], key=len)
         del headline["queries"][drop]
         headline["queries_truncated_see_detail"] = True
         line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
