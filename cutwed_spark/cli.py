@@ -128,7 +128,6 @@ def cmd_stream_dedup(args) -> int:
         # succeed with zero counts rather than failing on a missing path
         summary = {"n_dup_edges": 0, "n_exact": 0, "edges": p["edges"]}
     print(json.dumps(summary))
-    spark.stop()
     return 0
 
 

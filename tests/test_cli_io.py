@@ -124,6 +124,41 @@ def test_cli_stream(spark, tmp_path, capsys):
         spark.sql("DROP TABLE IF EXISTS er_state_bucketed")
 
 
+def test_cli_stream_dedup(spark, tmp_path, capsys):
+    """stream-dedup subcommand over two drops: an exact pair must be
+    counted ONCE (kind='exact' only — the near path anti-joins it
+    away), and a cross-batch near dup appears as one 'near' edge."""
+    import pandas as pd
+
+    from cutwed_spark.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon"
+    )
+    in_dir = tmp_path / "drops"
+    os.makedirs(in_dir)
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, base, "unrelated words here"]}
+    ).to_parquet(in_dir / "d1.parquet", index=False)
+    pd.DataFrame(
+        {"doc_id": [3], "text": [base.replace("warm", "cold")]}
+    ).to_parquet(in_dir / "d2.parquet", index=False)
+    work = str(tmp_path / "work")
+    assert main(["stream-dedup", "--input", str(in_dir), "--work", work,
+                 "--master", "local[4]"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # edges: (0,1) exact once, (0,3) and (1,3) near — never an 'exact'
+    # pair re-emitted through the near path
+    assert summary["n_exact"] == 1
+    assert summary["n_dup_edges"] == 3
+    edges = spark.read.parquet(summary["edges"]).dropDuplicates(
+        ["doc_id_a", "doc_id_b", "kind"]
+    )
+    kinds = {(r.doc_id_a, r.doc_id_b): r.kind for r in edges.collect()}
+    assert kinds == {(0, 1): "exact", (0, 3): "near", (1, 3): "near"}
+
+
 @pytest.mark.slow
 def test_spark_submit_py_files(tmp_path):
     """The north rule's launch shape, actually executed: package the
