@@ -117,7 +117,15 @@ def per_turn_member_mins(shb, num_hashes: int, prefix: str = "m") -> list:
     these folds at num_hashes=40 — fixed-width xxhash64 is cheap in
     codegen and the struct-array materialization + per-element field
     extraction dominates. The fold cost is traversal, not hashing;
-    don't "optimize" the hash count."""
+    don't "optimize" the hash count.
+
+    Second negative result (round 4): merging the num_hashes folds into
+    ONE traversal with a num_hashes-wide struct accumulator (least +
+    xxhash64 per field per element, fields extracted from a staged
+    column) measures IDENTICAL to these separate folds (30.6 vs 31.0 s
+    best-of-3 interleaved on the 100k assemble subtree) with
+    bit-identical mins — per-element arithmetic dominates, not
+    per-array traversal count. Keep the simpler separate folds."""
 
     def _merge(i):
         return lambda acc, b: F.least(acc, F.xxhash64(b, F.lit(i)))
