@@ -263,6 +263,48 @@ def _dedup_batch(
         df.unpersist()
 
 
+def compact_dedup_state(
+    spark: SparkSession, work_dir: str, target_files: int | None = None
+) -> dict:
+    """Maintenance pass for a long-lived dedup work dir (the
+    ``compact_stream_state`` analog, streaming/ingest.py): every
+    microbatch appends one file-set each to the hash index, band index,
+    shingle store, and edge table, so after thousands of drops the
+    per-batch narrow scans pay footer/listing overhead per tiny file.
+    Rewrites each table to ``target_files`` files, deduping replay
+    artifacts on the way (hashes on (dup_hash, doc_id), bands on
+    (band_key, doc_id), shingles on (doc_id, shingle), edges on
+    (doc_id_a, doc_id_b, kind)) — the same row sets every reader
+    already dedups to, so answers are unchanged. The shingle store
+    keeps its doc_id-bucket partitioning (the verification fetch's
+    partition pruning depends on it).
+
+    Run while the stream is STOPPED — the directory swap is two
+    renames. Returns {table: {"files_before": n, "files_after": m}}.
+    """
+    from cutwed_spark.streaming.ingest import _compact_dir
+
+    p = _paths(work_dir)
+    n = target_files or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    plan = {
+        "hashes": (p["hashes"], ["dup_hash", "doc_id"], None),
+        "bands": (p["bands"], ["band_key", "doc_id"], None),
+        "shingles": (p["shingles"], ["doc_id", "shingle"], "bkt"),
+        "edges": (p["edges"], ["doc_id_a", "doc_id_b", "kind"], None),
+    }
+    out = {}
+    for name, (path, cols, part_col) in plan.items():
+        if not os.path.isdir(path):
+            continue
+        before, after = _compact_dir(
+            spark, path, cols, n, partition_col=part_col
+        )
+        out[name] = {"files_before": before, "files_after": after}
+    return out
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     input_dir: str,

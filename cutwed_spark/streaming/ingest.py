@@ -286,20 +286,39 @@ def run_incremental(
 
 
 def _compact_dir(
-    spark: SparkSession, path: str, dedup_cols: list[str], n_files: int
+    spark: SparkSession,
+    path: str,
+    dedup_cols: list[str],
+    n_files: int,
+    partition_col: str | None = None,
 ) -> tuple[int, int]:
     """Rewrite a parquet dir to ``n_files`` files, deduped on
     ``dedup_cols``; returns (files_before, files_after). Swap is two
-    renames — run with the stream stopped (documented, not enforced)."""
+    renames — run with the stream stopped (documented, not enforced).
+
+    ``partition_col``: preserve a hive-partitioned layout (e.g. the
+    dedup shingle store's doc_id buckets, whose partition pruning the
+    verification fetch depends on); rows are repartitioned BY that
+    column so each partition directory compacts to one file."""
     import shutil
 
     def _n_parquet(d: str) -> int:
-        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
     before = _n_parquet(path)
     df = spark.read.parquet(path).dropDuplicates(dedup_cols)
     tmp = path + "._compact_tmp"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if partition_col is not None:
+        df.repartition(F.col(partition_col)).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     # preserve underscore-prefixed sidecars (the version marker)
     for f in os.listdir(path):
         if f.startswith("_") and os.path.isfile(os.path.join(path, f)):

@@ -84,6 +84,56 @@ def test_no_false_edges(dedup_out):
         assert {a, b} & {4, 12} == set(), f"unrelated doc in edge {(a, b, kind)}"
 
 
+def test_compact_dedup_state(dedup_out, spark, tmp_path):
+    """Compaction rewrites every dedup state table to few files without
+    changing the reader-visible edges, and the shingle store KEEPS its
+    doc_id-bucket partitioning (the verification fetch prunes on it)."""
+    import shutil
+
+    from cutwed_spark.streaming.dedup import compact_dedup_state
+
+    p, edges_before = dedup_out
+    work2 = str(tmp_path / "work2")
+    shutil.copytree(os.path.dirname(p["edges"]), work2)
+    stats = compact_dedup_state(spark, work2, target_files=2)
+    assert set(stats) == {"hashes", "bands", "shingles", "edges"}
+    for name in ("hashes", "bands", "edges"):
+        assert stats[name]["files_after"] <= 2, (name, stats[name])
+    # shingles: one file per bucket directory, layout preserved
+    sh_dir = os.path.join(work2, "shingles")
+    assert any(d.startswith("bkt=") for d in os.listdir(sh_dir))
+    assert stats["shingles"]["files_after"] <= stats["shingles"][
+        "files_before"
+    ]
+    edges_after = {
+        (r["doc_id_a"], r["doc_id_b"], r["kind"]): r["jaccard"]
+        for r in spark.read.parquet(os.path.join(work2, "dup_edges"))
+        .dropDuplicates(["doc_id_a", "doc_id_b", "kind"])
+        .collect()
+    }
+    assert edges_after == edges_before
+    # and a post-compaction batch still verifies against the compacted
+    # store: a new near-dup of BASE must land with a real jaccard
+    from cutwed_spark.streaming.dedup import _dedup_batch
+    from cutwed_spark.streaming.dedup import _paths as dpaths
+
+    nb = spark.createDataFrame(
+        [(99, BASE.replace("lazy", "sleepy"))], "doc_id bigint, text string"
+    )
+    _dedup_batch(spark, nb, dpaths(work2))
+    post = {
+        k: v
+        for k, v in {
+            (r["doc_id_a"], r["doc_id_b"], r["kind"]): r["jaccard"]
+            for r in spark.read.parquet(os.path.join(work2, "dup_edges"))
+            .dropDuplicates(["doc_id_a", "doc_id_b", "kind"])
+            .collect()
+        }.items()
+        if 99 in (k[0], k[1])
+    }
+    assert post and all(0.5 <= j < 1.0 for j in post.values())
+
+
 def test_state_tables_shapes(dedup_out, spark):
     p, _ = dedup_out
     # shingle store is bucketed by doc_id hash (partition-pruned fetch)
