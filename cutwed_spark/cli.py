@@ -131,6 +131,42 @@ def cmd_stream_dedup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a streaming work dir (run with the stream STOPPED): the
+    per-microbatch appends accumulate small files; this rewrites each
+    state table to a bounded file count, deduping replay artifacts on
+    the way. Auto-detects the layout (ER ingest vs document dedup) from
+    the tables present unless ``--mode`` forces one."""
+    import json
+
+    from cutwed_spark.streaming.dedup import _paths as dedup_paths
+    from cutwed_spark.streaming.dedup import compact_dedup_state
+    from cutwed_spark.streaming.ingest import _paths as er_paths
+    from cutwed_spark.streaming.ingest import compact_stream_state
+
+    mode = args.mode
+    if mode == "auto":
+        is_er = os.path.isdir(er_paths(args.work)["keys"])
+        is_dedup = os.path.isdir(dedup_paths(args.work)["bands"])
+        if is_er == is_dedup:
+            print(
+                json.dumps(
+                    {
+                        "error": "cannot auto-detect work-dir layout; "
+                        "pass --mode er or --mode dedup",
+                        "work": args.work,
+                    }
+                )
+            )
+            return 2
+        mode = "er" if is_er else "dedup"
+    spark = _spark(args)
+    fn = compact_stream_state if mode == "er" else compact_dedup_state
+    stats = fn(spark, args.work, target_files=args.target_files)
+    print(json.dumps({"mode": mode, "work": args.work, "tables": stats}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-data curation funnel over a documents parquet:
     quality gate -> exact dedup -> verified near-dup prune."""
@@ -278,6 +314,26 @@ def main(argv=None) -> int:
     pd.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
                     default=None)
     pd.set_defaults(fn=cmd_stream_dedup)
+
+    pk = sub.add_parser(
+        "compact",
+        help="compact a streaming work dir's state tables (stream stopped)",
+    )
+    pk.add_argument("--work", required=True, help="state/checkpoint work dir")
+    pk.add_argument(
+        "--mode",
+        choices=["auto", "er", "dedup"],
+        default="auto",
+        help="work-dir layout; auto detects from the tables present",
+    )
+    pk.add_argument(
+        "--target-files", dest="target_files", type=int, default=None,
+        help="files per table after compaction (default: shuffle partitions)",
+    )
+    pk.add_argument("--master", default=None)
+    pk.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,
+                    default=None)
+    pk.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -158,6 +158,33 @@ def test_cli_stream_dedup(spark, tmp_path, capsys):
     kinds = {(r.doc_id_a, r.doc_id_b): r.kind for r in edges.collect()}
     assert kinds == {(0, 1): "exact", (0, 3): "near", (1, 3): "near"}
 
+    # --- compact subcommand over the same (stopped) work dir ---
+    # auto-detect must pick the dedup layout, shrink the edge table to
+    # one file, and leave the reader-visible edge set unchanged
+    from cutwed_spark.cli import main as cli_main
+
+    assert cli_main(["compact", "--work", work, "--target-files", "1",
+                     "--master", "local[4]"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "dedup"
+    assert out["tables"]["edges"]["files_after"] == 1
+    after = spark.read.parquet(summary["edges"])
+    kinds2 = {(r.doc_id_a, r.doc_id_b): r.kind for r in after.collect()}
+    assert kinds2 == kinds
+    # the compacted table needs no reader-side dedup anymore
+    assert after.count() == 3
+
+
+def test_cli_compact_auto_detect_fails_cleanly(tmp_path, capsys):
+    """Ambiguous/empty work dirs are refused with an actionable error."""
+    from cutwed_spark.cli import main
+
+    work = str(tmp_path / "empty")
+    os.makedirs(work)
+    assert main(["compact", "--work", work, "--master", "local[2]"]) == 2
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "auto-detect" in out["error"]
+
 
 @pytest.mark.slow
 def test_spark_submit_py_files(tmp_path):
