@@ -427,11 +427,13 @@ def build_candidate_pairs_from_state(
     # the kept-keys join, and the pair self-join all hash on block_key,
     # so the cached table's outputPartitioning satisfies every one of
     # them — three Exchanges of the block table collapse into this one
-    # (Catalyst keeps the cached plan's partitioning).
-    blocks = (
+    # (Catalyst keeps the cached plan's partitioning). Scoped: the
+    # caller's cache_scope releases it once the pair table is
+    # materialized — a raw persist here outlives the stage and
+    # accumulates across pipeline runs on a long-lived driver.
+    blocks = scoped_persist(
         block_keys_from_state(state, band_size, num_hashes)
         .repartition("block_key")
-        .persist()
     )
     kept, stats = prune_oversized_blocks(blocks, max_block)
     pairs = candidate_pairs(kept)
