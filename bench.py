@@ -58,6 +58,12 @@ DETAIL_PATH = os.path.join(
 TURN_P = 0.05  # geometric turn-count parameter -> ~24 turns/conversation
 CORPUS_DIR = f"/tmp/cutwed_bench_corpus_{N_CONVS}_p{TURN_P}"
 SMALL_CORES = max(CPUS // 4, 1)
+# Scale the local-mode JVM heap with the corpus: the 8g default fits
+# the 100k rung, but the 1M rung's resident caches (series arrays for
+# 32M turns) plus an honest steady-blocking recompute OOM it (measured
+# post lifecycle fix). Explicit SPARK_DRIVER_MEMORY always wins.
+if "SPARK_DRIVER_MEMORY" not in os.environ and N_CONVS >= 300_000:
+    os.environ["SPARK_DRIVER_MEMORY"] = "32g"
 
 
 def _sf_of(sf_dir: str) -> float:
