@@ -531,6 +531,34 @@ def test_cache_scope_releases_operator_persists(spark):
     assert not (persisted_ids() - before)  # no net-new after exit
 
 
+def test_cache_scope_releases_blocking_persists(spark):
+    """The blocking operator's internal persists (the repartitioned
+    block-key table AND the block-size table) must both be released by
+    an enclosing cache_scope — the block-table persist leaked past the
+    scope until round 4 (CacheManager then silently substituted the
+    stale cache into re-built plans, corrupting steady-state timings)."""
+    from cutwed_spark.cache import cache_scope
+    from cutwed_spark.operators.assemble import assemble_with_signatures
+    from cutwed_spark.operators.blocking import (
+        build_candidate_pairs_from_state,
+    )
+    from cutwed_spark.sources.synth import synth_corpus
+
+    tr, _ = synth_corpus(40)
+    state = assemble_with_signatures(spark.createDataFrame(tr), 16, 64)
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = persisted_ids()
+    with cache_scope():
+        pairs, stats = build_candidate_pairs_from_state(state)
+        stats.collect()
+        pairs.count()
+        assert persisted_ids() - before  # caches alive inside the scope
+    assert not (persisted_ids() - before)  # fully released on exit
+
+
 def test_multi_table_lsh_recall_dominates(spark):
     """Multi-table LSH candidates are a superset of single-table ones
     (table 0 is shared), so recall@k vs exact cosine can only improve;
