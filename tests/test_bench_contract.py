@@ -48,6 +48,23 @@ def test_oversized_headline_sheds_queries_not_truncates():
     assert parsed["score_scaling"]["efficiency"] == 0.8312
 
 
+def test_oversized_nonquery_fields_are_shed_too():
+    # Round-4 advice: once queries are gone the shrinker must keep
+    # shedding optional fields (walls arrays etc.) rather than return
+    # an over-limit line.
+    h = _headline(n_queries=2)
+    h["wall_cold"] = [50.31 + i * 0.001 for i in range(300)]
+    h["ann_recall"] = {f"probe_{i:03d}": 0.4881 for i in range(100)}
+    line = bench._shrink_headline(h)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["queries_truncated_see_detail"] is True
+    # the load-bearing metrics always survive
+    assert parsed["value"] == 27.8
+    assert parsed["f1"] == 0.99873
+    assert parsed["score_scaling"]["efficiency"] == 0.8312
+
+
 def test_shrink_is_idempotent_at_limit():
     h = _headline(n_queries=200, key_len=40)
     line1 = bench._shrink_headline(h)
