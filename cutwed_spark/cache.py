@@ -24,34 +24,60 @@ the driver-contract entries keep their semantics.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+# Scope stacks are per-context (contextvars), so concurrent entry
+# invocations on a threaded driver cannot pop each other's frames or
+# release another context's deferred caches. The cost of the isolation:
+# a thread that opens a deferred scope and never opens another (or calls
+# release_deferred) holds its last scope's caches until LRU eviction —
+# acceptable, since cross-thread release was never sound anyway.
+_SCOPES_VAR: ContextVar[list[list[DataFrame]]] = ContextVar("cutwed_scopes")
+_DEFERRED_VAR: ContextVar[list[DataFrame]] = ContextVar("cutwed_deferred")
+
+
+def _scopes() -> list[list[DataFrame]]:
+    try:
+        return _SCOPES_VAR.get()
+    except LookupError:
+        stack: list[list[DataFrame]] = []
+        _SCOPES_VAR.set(stack)
+        return stack
+
+
+def _deferred() -> list[DataFrame]:
+    try:
+        return _DEFERRED_VAR.get()
+    except LookupError:
+        pending: list[DataFrame] = []
+        _DEFERRED_VAR.set(pending)
+        return pending
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() that registers with the innermost active cache_scope
     (no-op registration when no scope is active)."""
     df = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(df)
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(df)
     return df
-
-
-_DEFERRED: list[DataFrame] = []
 
 
 def release_deferred() -> int:
     """Unpersist the caches captured by the most recent
-    :func:`deferred_cache_scope`; returns how many were released."""
-    n = len(_DEFERRED)
-    for df in _DEFERRED:
+    :func:`deferred_cache_scope` in THIS thread/context; returns how
+    many were released."""
+    pending = _deferred()
+    n = len(pending)
+    for df in pending:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped; nothing to release
-    _DEFERRED.clear()
+    pending.clear()
     return n
 
 
@@ -68,15 +94,17 @@ def deferred_cache_scope():
     the next entry keeps at most ONE entry's operator-internal caches
     alive at a time: a full queries() sweep (or repeated sweeps on a
     long-lived driver) no longer accumulates persists for the session
-    lifetime."""
+    lifetime. Scopes are per-thread/context (see module note); a
+    threaded driver gets one independent release chain per thread."""
     release_deferred()
     frame: list[DataFrame] = []
-    _SCOPES.append(frame)
+    scopes = _scopes()
+    scopes.append(frame)
     try:
         yield
     finally:
-        _SCOPES.pop()
-        _DEFERRED.extend(frame)
+        scopes.pop()
+        _deferred().extend(frame)
 
 
 @contextmanager
@@ -88,11 +116,12 @@ def cache_scope():
     Scopes nest; each releases only its own persists.
     """
     frame: list[DataFrame] = []
-    _SCOPES.append(frame)
+    scopes = _scopes()
+    scopes.append(frame)
     try:
         yield
     finally:
-        _SCOPES.pop()
+        scopes.pop()
         for df in frame:
             try:
                 df.unpersist()

@@ -328,7 +328,9 @@ def main(argv=None) -> int:
     )
     pk.add_argument(
         "--target-files", dest="target_files", type=int, default=None,
-        help="files per table after compaction (default: shuffle partitions)",
+        help="files per UNPARTITIONED table after compaction (default: "
+        "shuffle partitions); hive-partitioned tables (the dedup "
+        "shingle store) compact to one file per partition instead",
     )
     pk.add_argument("--master", default=None)
     pk.add_argument("--shuffle-partitions", dest="shuffle_partitions", type=int,

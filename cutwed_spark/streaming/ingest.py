@@ -299,7 +299,12 @@ def _compact_dir(
     ``partition_col``: preserve a hive-partitioned layout (e.g. the
     dedup shingle store's doc_id buckets, whose partition pruning the
     verification fetch depends on); rows are repartitioned BY that
-    column so each partition directory compacts to one file."""
+    column so each partition directory compacts to ONE file —
+    ``n_files`` is ignored on this path (the file count is the number
+    of non-empty partitions). The dedup shingle store hash-buckets
+    doc_ids into a fixed bucket count, so per-bucket volume stays
+    balanced; a layout with genuinely hot partitions would want a salt
+    column added to the repartition to bound per-partition file size."""
     import shutil
 
     def _n_parquet(d: str) -> int:
@@ -395,9 +400,40 @@ def publish_bucketed_state(
     p = _paths(work_dir)
     n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     state = spark.read.parquet(p["state"]).dropDuplicates(["conv_id"])
+    _clear_stale_managed_location(spark, table)
     write_bucketed(state, table, ["conv_id"], n_buckets=n,
                    sort_cols=["conv_id"])
     return read_bucketed(spark, table)
+
+
+def _clear_stale_managed_location(spark: SparkSession, table: str) -> None:
+    """Remove a leftover managed-table directory for ``table`` when the
+    table is NOT registered in the current catalog.
+
+    With the in-memory catalog, a previous session's
+    ``publish_bucketed_state`` leaves the table's files under the
+    warehouse dir while the registration dies with that session; the
+    next session's ``saveAsTable`` then refuses ("location is not
+    empty") and the publish would silently degrade on every subsequent
+    run. Only acts on local ``file:`` warehouses — with a persistent
+    metastore (Hive/Iceberg) the table stays registered and overwrite
+    mode handles it, so this is a no-op there."""
+    if spark.catalog.tableExists(table):
+        return  # saveAsTable(mode=overwrite) replaces a registered table
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file"):
+        return
+    parts = table.split(".")
+    if len(parts) == 2:
+        loc = os.path.join(wh.path, f"{parts[0].lower()}.db",
+                           parts[1].lower())
+    else:
+        loc = os.path.join(wh.path, parts[-1].lower())
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc)
 
 
 def finalize(

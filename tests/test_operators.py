@@ -647,3 +647,46 @@ def test_stratified_sample_quota_and_nesting(spark):
         r["doc_id"] for r in stratified_sample(docs, ["lang", "source"], 3).collect()
     }
     assert small == {r["doc_id"] for r in out if r["smp_rank"] <= 3}
+
+
+def test_cache_scopes_are_thread_isolated():
+    """Scope stacks are per-thread (contextvars): another thread
+    entering deferred_cache_scope must not release THIS thread's
+    deferred caches mid-materialization (round-4 advice)."""
+    import threading
+
+    from cutwed_spark import cache
+
+    class FakeDF:
+        def __init__(self):
+            self.persisted = False
+
+        def persist(self):
+            self.persisted = True
+            return self
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    cache.release_deferred()  # clean slate in this thread's context
+    with cache.deferred_cache_scope():
+        mine = cache.scoped_persist(FakeDF())
+    assert mine.persisted  # deferred, still alive after scope exit
+
+    other: list = []
+
+    def worker():
+        with cache.deferred_cache_scope():
+            other.append(cache.scoped_persist(FakeDF()))
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    # the worker's scope entry released ITS context's deferred list
+    # (empty), not ours
+    assert mine.persisted
+    assert other[0].persisted  # worker's cache awaits its own release
+    assert cache.release_deferred() == 1  # ours only
+    assert not mine.persisted
+    assert other[0].persisted  # cross-thread release never happens

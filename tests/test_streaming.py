@@ -169,6 +169,39 @@ def test_finalize_routes_through_bucketed_state(spark, split_corpus):
     assert {r["conv_id"]: r["cluster_id"] for r in c_missing.collect()} == plain
 
 
+def test_publish_bucketed_state_recovers_stale_location(spark, split_corpus):
+    """A leftover managed-table dir from a dead session (in-memory
+    catalog: the files survive under the warehouse, the registration
+    doesn't) must not wedge the publish forever — saveAsTable refuses a
+    non-empty unregistered location, so publish clears it first
+    (round-4 advice)."""
+    import os
+    from urllib.parse import urlparse
+
+    from cutwed_spark.streaming.ingest import publish_bucketed_state
+
+    in_dir, work_dir, _, _ = split_corpus
+    if not os.path.isdir(os.path.join(work_dir, "state")):
+        # standalone-safe: earlier module tests normally drain the stream
+        run_incremental(spark, in_dir, work_dir,
+                        PipelineConfig(threshold=THRESHOLD),
+                        max_files_per_trigger=1)
+    tbl = "t_stale_publish"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, tbl)
+    os.makedirs(loc, exist_ok=True)
+    stale = os.path.join(loc, "part-stale.parquet")
+    with open(stale, "w") as f:
+        f.write("stale bytes from a dead session")
+    try:
+        df = publish_bucketed_state(spark, work_dir, table=tbl, n_buckets=4)
+        assert df.count() > 0
+        assert not os.path.exists(stale)  # stale copy cleaned, not merged
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_compact_stream_state(spark, split_corpus, tmp_path):
     """Compaction shrinks the per-batch file accumulation without
     changing finalize's answer, and the version marker survives."""
