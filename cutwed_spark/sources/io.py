@@ -8,6 +8,14 @@ for the scored-pair log. The Iceberg Spark runtime jar is not present
 in this sandbox, so every call degrades to plain parquet with the SAME
 call shape — the pipeline and CLI are storage-agnostic by construction.
 
+A real Iceberg round-trip test was attempted in round 5 and is
+IMPOSSIBLE here: the container has no network (repo1.maven.org does not
+resolve) and no Iceberg jar anywhere on disk (verified by a full-fs
+find), so ``--packages``/ivy cannot fetch the runtime. The refusal path
+(tests/test_cli_io.py::test_io_iceberg_requires_runtime) and the
+``iceberg_available`` gate remain the tested surface; the round-trip
+test is the first thing to add on a cluster with the runtime jar.
+
 Address forms accepted everywhere a ``src`` or ``dst`` appears:
 
 * ``iceberg:catalog.db.table`` — explicit Iceberg table identifier

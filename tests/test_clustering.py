@@ -50,3 +50,30 @@ def test_empty_edges(spark):
     out, _ = assign_clusters(series, edges)
     got = {r["conv_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {"a": "a", "b": "b"}
+
+
+def test_fused_impl_matches_star(spark):
+    """The experimental symmetric-invariant round (a round-5 measured
+    NEGATIVE, kept reachable for the ccscale probe) must stay
+    assignment-identical to the production star pair on a mixed graph
+    of chains, random components, and a clique."""
+    import random
+
+    from cutwed_spark.operators.clustering import connected_components
+
+    random.seed(7)
+    rows = []
+    for c in range(12):
+        ln = 2 + c % 9
+        ids = [f"a{c:03d}_{i:02d}" for i in range(ln)]
+        rows += list(zip(ids, ids[1:]))
+    for c in range(8):
+        ids = [f"b{c:03d}_{i:02d}" for i in range(random.randint(2, 12))]
+        rows += [(i, random.choice(ids)) for i in ids]
+    rows += [(f"q_{i}", f"q_{j}") for i in range(5) for j in range(5)]
+    df = spark.createDataFrame(rows, "conv_id_a string, conv_id_b string")
+    a_star, _ = connected_components(df)
+    a_fused, _ = connected_components(df, impl="fused")
+    m_star = {r["conv_id"]: r["cluster_id"] for r in a_star.collect()}
+    m_fused = {r["conv_id"]: r["cluster_id"] for r in a_fused.collect()}
+    assert m_fused == m_star
