@@ -719,6 +719,104 @@ def run_cc_scaling(n_cores: int) -> dict:
     }
 
 
+STREAMSCALE_DROPS = int(os.environ.get("CUTWED_STREAMSCALE_DROPS", "16"))
+STREAMSCALE_CONVS = int(os.environ.get("CUTWED_STREAMSCALE_CONVS", "3000"))
+
+
+def run_stream_scaling(n_cores: int) -> dict:
+    """Streaming incremental-ER per-batch FLATNESS probe (round 5; not
+    in the default bench flow — a one-off evidence run like
+    blockscale/ccscale).
+
+    The scale claim under test (ARCHITECTURE.md §8): the foreachBatch
+    body costs O(new batch x blocking neighborhood), NOT O(accumulated
+    state) — old transcripts are never re-read, old block keys are
+    never re-derived, and the state side of the score join is a
+    column-pruned payload fetch. If that holds, per-batch wall stays
+    flat while the state table grows by STREAMSCALE_CONVS conversations
+    every batch; if any stage silently rescans state, the walls climb
+    linearly and the flatness ratio exposes it.
+
+    Method: STREAMSCALE_DROPS deterministic parquet drops (seeded
+    synth_corpus per drop, conv_ids disjoint by a per-drop prefix) fed
+    through the production ``run_incremental`` with
+    maxFilesPerTrigger=1 (one drop per microbatch, availableNow), then
+    per-batch walls read from the streaming query's recentProgress
+    (durationMs.triggerExecution). flatness = mean of the last 3
+    batch walls over the mean of batches 2-4 (batches 0-1 pay JVM
+    warmup and state bootstrap) — ~1.0 means flat; the per-batch wall
+    list ships in the artifact so the slope is auditable."""
+    import shutil
+    import tempfile
+
+    from cutwed_spark.session import get_spark
+    from cutwed_spark.sources.synth import synth_corpus
+    from cutwed_spark.streaming.ingest import run_incremental
+
+    work = tempfile.mkdtemp(prefix="cutwed_streamscale_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    for i in range(STREAMSCALE_DROPS):
+        tr, _ = synth_corpus(STREAMSCALE_CONVS, seed=1000 + i)
+        tr = tr.copy()
+        tr["conv_id"] = f"d{i:03d}" + tr["conv_id"].astype(str)
+        # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS)
+        tr["ts"] = tr["ts"].astype("datetime64[us]")
+        tr.to_parquet(
+            os.path.join(in_dir, f"drop_{i:03d}.parquet"), index=False
+        )
+    spark = get_spark(
+        app_name=f"cutwed-streamscale-{n_cores}",
+        master=f"local[{n_cores}]",
+        shuffle_partitions=2 * n_cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_workers(spark, 2 * n_cores)
+    try:
+        q = run_incremental(
+            spark,
+            in_dir,
+            os.path.join(work, "er"),
+            max_files_per_trigger=1,
+        )
+        prog = [
+            p for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        walls_ms = [
+            int(p["durationMs"]["triggerExecution"]) for p in prog
+        ]
+        rows = [int(p["numInputRows"]) for p in prog]
+        state_rows = spark.read.parquet(
+            os.path.join(work, "er", "state")
+        ).count()
+        scored = spark.read.parquet(
+            os.path.join(work, "er", "scored")
+        ).count()
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    early = walls_ms[2:5] or walls_ms[:1]
+    late = walls_ms[-3:]
+    flatness = round(
+        (sum(late) / len(late)) / max(sum(early) / len(early), 1e-9), 4
+    )
+    return {
+        "cores": n_cores,
+        "n_batches": len(walls_ms),
+        "convs_per_batch": STREAMSCALE_CONVS,
+        "turn_rows_per_batch": rows,
+        "batch_walls_ms": walls_ms,
+        "final_state_convs": state_rows,
+        "pairs_scored_total": scored,
+        "flatness_late_over_early": flatness,
+        "convs_per_sec_steady": round(
+            STREAMSCALE_CONVS / max((sum(late) / len(late)) / 1000.0, 1e-9),
+            1,
+        ),
+    }
+
+
 def run_query_bench() -> dict:
     """Representative operator queries at SF_DIR on local[CPUS].
 
@@ -866,6 +964,9 @@ def _worker_main(mode: str) -> None:
     elif mode.startswith("ccscale"):
         cores = int(mode.split(":")[1])
         print("WORKER_JSON " + json.dumps(run_cc_scaling(cores)))
+    elif mode.startswith("streamscale"):
+        cores = int(mode.split(":")[1])
+        print("WORKER_JSON " + json.dumps(run_stream_scaling(cores)))
     elif mode == "queries":
         print("WORKER_JSON " + json.dumps(run_query_bench()))
 
